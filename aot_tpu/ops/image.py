@@ -1,0 +1,115 @@
+"""Image-space ops with exact PyTorch interpolation semantics.
+
+The reference decodes logits at 4x and bilinearly upsamples with
+align_corners=True/False depending on the model (reference:
+networks/engines/aot_engine.py:374-379, MODEL_ALIGN_CORNERS). J&F parity
+requires bit-matching those coordinates, which `jax.image.resize` does not
+provide (it has no align_corners=True mode), so we implement separable
+bilinear resize via gathers.
+
+Layout convention: NHWC (channel-last) throughout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_indices(in_size: int, out_size: int, align_corners: bool):
+    """Source indices & lerp weights for one axis (torch upsample parity)."""
+    out = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        if out_size == 1:
+            src = jnp.zeros((1,), jnp.float32)
+        else:
+            src = out * ((in_size - 1) / (out_size - 1))
+    else:
+        src = (out + 0.5) * (in_size / out_size) - 0.5
+        src = jnp.maximum(src, 0.0)  # torch clamps negative source coords
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w = (src - i0.astype(jnp.float32)).astype(jnp.float32)
+    return i0, i1, w
+
+
+def _resize_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, w = _axis_indices(in_size, out_size, align_corners)
+    lo = jnp.take(x, i0, axis=axis)
+    hi = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape).astype(lo.dtype)
+    return lo * (1 - w) + hi * w
+
+
+def interpolate_bilinear(
+    x: jax.Array, size: Tuple[int, int], align_corners: bool = True
+) -> jax.Array:
+    """Bilinear resize of NHWC (or ...HWC) images to `size`=(H, W).
+
+    Matches torch.nn.functional.interpolate(mode='bilinear') for both
+    align_corners settings (verified against torch in tests).
+    """
+    h, w = int(size[0]), int(size[1])
+    x = _resize_axis(x, x.ndim - 3, h, align_corners)
+    x = _resize_axis(x, x.ndim - 2, w, align_corners)
+    return x
+
+
+def interpolate_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest resize of NHWC images (torch 'nearest' parity: floor(d*scale))."""
+    h, w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    iy = jnp.minimum((jnp.arange(h) * (in_h / h)).astype(jnp.int32), in_h - 1)
+    ix = jnp.minimum((jnp.arange(w) * (in_w / w)).astype(jnp.int32), in_w - 1)
+    x = jnp.take(x, iy, axis=x.ndim - 3)
+    x = jnp.take(x, ix, axis=x.ndim - 2)
+    return x
+
+
+def one_hot_mask(mask: jax.Array, cls_num: int) -> jax.Array:
+    """(B, H, W) int mask -> (B, H, W, cls_num+1) float one-hot.
+
+    Mirrors reference utils/image.py:69-74 (which returns NCHW; we use NHWC).
+    """
+    if mask.ndim == 4 and mask.shape[-1] == 1:
+        mask = mask[..., 0]
+    return jax.nn.one_hot(mask.astype(jnp.int32), cls_num + 1, dtype=jnp.float32)
+
+
+def flip_horizontal(x: jax.Array) -> jax.Array:
+    """Flip the W axis of an NHWC (or ...HWC) array."""
+    return jnp.flip(x, axis=x.ndim - 2)
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def label_to_onehot_probs(label: jax.Array, num_classes: int) -> jax.Array:
+    return jax.nn.one_hot(label, num_classes, dtype=jnp.float32)
+
+
+def generate_permute_matrix(
+    key: jax.Array, dim: int, num: int, keep_first: bool = True
+) -> jax.Array:
+    """(num, dim, dim) batch of permutation matrices; row 0 (background)
+    pinned when keep_first. TPU-side equivalent of the reference's identity
+    shuffling (utils/math.py:3-25)."""
+    eye = jnp.eye(dim, dtype=jnp.float32)
+
+    def one(k):
+        if keep_first:
+            perm = jax.random.permutation(k, dim - 1)
+            return jnp.concatenate([eye[:1], eye[1:][perm]], axis=0)
+        return eye[jax.random.permutation(k, dim)]
+
+    return jax.vmap(one)(jax.random.split(key, num))
+
+
+def truncated_normal_init(key: jax.Array, shape: Sequence[int], std: float = 0.02):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)

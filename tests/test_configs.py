@@ -1,0 +1,48 @@
+from aot_tpu.configs import MODEL_REGISTRY, build_config
+
+
+def test_model_registry_complete():
+    # all 14 named variants from the reference model zoo + 2 defaults
+    expected = {
+        "aott", "aots", "aotb", "aotl",
+        "r50_aotl", "r101_aotl", "rs101_aotl", "swinb_aotl",
+        "deaott", "deaots", "deaotb", "deaotl",
+        "r50_deaotl", "swinb_deaotl",
+        "default", "default_deaot",
+    }
+    assert expected <= set(MODEL_REGISTRY)
+
+
+def test_aotl_hyperparams():
+    cfg = build_config(stage="pre_ytb_dav", model="aotl", exp_name="t")
+    assert cfg.MODEL_LSTT_NUM == 3
+    assert cfg.TRAIN_LONG_TERM_MEM_GAP == 2
+    assert cfg.TEST_LONG_TERM_MEM_GAP == 5
+    assert cfg.STAGE_NAME == "PRE_YTB_DAV"
+    assert cfg.DATASETS == ["youtubevos", "davis2017"]
+    assert cfg.PRETRAIN_FULL is True
+    assert cfg.EXP_NAME == "t_AOTL"
+
+
+def test_deaot_defaults():
+    cfg = build_config(stage="pre", model="deaott")
+    assert cfg.MODEL_VOS == "deaot"
+    assert cfg.MODEL_SELF_HEADS == 1 and cfg.MODEL_ATT_HEADS == 1
+    assert cfg.MODEL_DECODER_INTERMEDIATE_LSTT is False
+    assert cfg.TRAIN_AUG_TYPE == "v2"
+    # PRE stage overrides (reference: configs/pre.py)
+    assert cfg.DATA_DYNAMIC_MERGE_PROB == 1.0
+    assert cfg.TRAIN_LR == 4e-4
+    assert cfg.TRAIN_AUX_LOSS_RATIO == 0.1
+
+
+def test_swin_align_corners_crop():
+    cfg = build_config(stage="ytb", model="swinb_aotl")
+    assert cfg.MODEL_ALIGN_CORNERS is False
+    assert tuple(cfg.DATA_RANDOMCROP) == (464, 464)
+
+
+def test_cli_overrides_win():
+    cfg = build_config(stage="pre", model="aott", TRAIN_LR=1e-3, TRAIN_BATCH_SIZE=4)
+    assert cfg.TRAIN_LR == 1e-3
+    assert cfg.TRAIN_BATCH_SIZE == 4
