@@ -122,6 +122,11 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # Compute dtypes. Params/optimizer always fp32.
     TRAIN_DTYPE="bfloat16",
     TEST_DTYPE="float32",
+    # fp32 matmul precision (JAX >=0.9 defaults fp32 matmuls to bf16 compute;
+    # 'high' = bf16x3 ~fp32 accuracy at 1/3 MXU cost, 'highest' = full fp32).
+    # Only affects fp32 tensors; bf16 compute paths are unaffected.
+    TEST_MATMUL_PRECISION="high",
+    TRAIN_MATMUL_PRECISION="default",
     # Attention implementation: 'auto' picks the Pallas kernels on TPU and
     # the jnp oracles elsewhere; 'reference' forces the oracles.
     ATTN_IMPL="auto",

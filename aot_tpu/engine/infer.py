@@ -1,0 +1,197 @@
+"""VOSInferEngine: arbitrary object counts via ≤max_obj groups
+(reference: networks/engines/aot_engine.py:485-635 AOTInferEngine).
+
+Where the reference keeps a Python list of sub-engines and loops them, here
+the group axis IS the engine's batch axis: the image is encoded once and the
+embeddings broadcast over groups (the reference shares img_embs the same way,
+aot_engine.py:606-616). Group count G is decided host-side per video; a
+change of G retraces (rare — only when a video exceeds a multiple of
+max_obj_num objects mid-stream).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aot_tpu.engine import state as S
+from aot_tpu.engine.engine import VOSEngine
+from aot_tpu.ops.image import interpolate_bilinear
+
+
+def groups_for(obj_num: int, max_obj_num: int) -> int:
+    return max(1, math.ceil(obj_num / max_obj_num))
+
+
+def separate_mask(mask: jax.Array, num_groups: int, max_obj_num: int) -> jax.Array:
+    """(1, H, W) full-id mask -> (G, H, W) per-group masks with local ids
+    1..max_obj_num (reference: aot_engine.py:515-545)."""
+    g = jnp.arange(num_groups, dtype=mask.dtype)[:, None, None]
+    start = g * max_obj_num + 1
+    end = (g + 1) * max_obj_num
+    m = mask.reshape(mask.shape[-2], mask.shape[-1])[None]
+    fg = (m >= start) & (m <= end)
+    return jnp.where(fg, m - start + 1, 0)
+
+
+def separated_obj_nums(obj_num: int, num_groups: int, max_obj_num: int):
+    nums = [max_obj_num] * num_groups
+    if obj_num % max_obj_num > 0:
+        nums[-1] = obj_num % max_obj_num
+    return nums
+
+
+def soft_aggregate_logits(group_logits: jax.Array, max_obj_num: int) -> jax.Array:
+    """(G, H, W, M+1) -> (1, H, W, 1 + G*M) merged logits
+    (reference: aot_engine.py:565-582): bg prob = product of per-group bg
+    probs; fg probs concatenated; clamped logit."""
+    g = group_logits.shape[0]
+    if g == 1:
+        return group_logits
+    probs = jax.nn.softmax(group_logits.astype(jnp.float32), axis=-1)
+    bg = jnp.prod(probs[..., 0], axis=0, keepdims=True)[..., None]  # (1,H,W,1)
+    fg = jnp.concatenate(
+        [probs[i:i + 1, ..., 1:1 + max_obj_num] for i in range(g)], axis=-1)
+    merged = jnp.concatenate([bg, fg], axis=-1)
+    merged = jnp.clip(merged, 1e-5, 1 - 1e-5)
+    return jnp.log(merged) - jnp.log1p(-merged)  # logit()
+
+
+def min_aggregate_logits(group_logits: jax.Array, max_obj_num: int) -> jax.Array:
+    """(reference: aot_engine.py:547-563)."""
+    g = group_logits.shape[0]
+    if g == 1:
+        return group_logits
+    bg = jnp.min(group_logits[..., 0], axis=0, keepdims=True)[..., None]
+    fg = jnp.concatenate(
+        [group_logits[i:i + 1, ..., 1:1 + max_obj_num] for i in range(g)],
+        axis=-1)
+    return jnp.concatenate([bg, fg], axis=-1)
+
+
+def _expand_groups(state: S.EngineState, new_g: int) -> S.EngineState:
+    """Zero-pad the group axis so freshly-arrived object groups can join an
+    existing state. Per-field group axes: lt/curr/embs/shortcuts/obj_nums/
+    lt_count -> 0; st -> 1."""
+    old_g = state.batch
+
+    def pad(x, axis):
+        if x is None:
+            return None
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, new_g - old_g)
+        return jnp.pad(x, widths)
+
+    return state.replace(
+        lt=tuple({k: pad(v, 0) for k, v in l.items()} for l in state.lt),
+        lt_count=pad(state.lt_count, 0),
+        st=tuple({k: pad(v, 1) for k, v in l.items()} for l in state.st),
+        curr=tuple({k: pad(v, 0) for k, v in l.items()} for l in state.curr),
+        embs=tuple(pad(e, 0) for e in state.embs),
+        shortcuts=tuple(pad(s, 0) for s in state.shortcuts),
+        obj_nums=pad(state.obj_nums, 0),
+    )
+
+
+def build_infer_engine(model, cfg, aggregation: str = "soft") -> "VOSInferEngine":
+    """Build the eval engine from a Config (reference:
+    networks/engines/__init__.py:5-21 name x phase dispatch — here the AOT /
+    DeAOT split is carried by the model's memory structure)."""
+    eng = VOSEngine(
+        model,
+        max_obj_num=cfg.MODEL_MAX_OBJ_NUM,
+        lt_gap=cfg.TEST_LONG_TERM_MEM_GAP,
+        st_skip=cfg.TEST_SHORT_TERM_MEM_SKIP,
+        lt_cap=cfg.TEST_LONG_TERM_MEM_CAP,
+        lt_policy=cfg.TEST_LONG_TERM_MEM_POLICY,
+        top_k=cfg.get("TEST_TOP_K", -1),
+        max_mem_len_ratio=cfg.get("TEST_MAX_MEM_LEN_RATIO", -1.0),
+        align_corners=cfg.MODEL_ALIGN_CORNERS,
+    )
+    return VOSInferEngine(eng, aggregation=aggregation)
+
+
+class VOSInferEngine:
+    """Online inference engine for one video (any number of objects)."""
+
+    def __init__(self, engine: VOSEngine, aggregation: str = "soft"):
+        self.engine = engine
+        self.max_obj_num = engine.max_obj_num
+        self.aggregation = aggregation
+
+    # group bookkeeping is host-side (python ints)
+    def num_groups(self, obj_num: int) -> int:
+        return groups_for(obj_num, self.max_obj_num)
+
+    def _broadcast_embs(self, xs: Sequence[jax.Array], g: int):
+        return [jnp.broadcast_to(x, (g,) + x.shape[1:]) for x in xs]
+
+    def add_reference_frame(
+        self,
+        params,
+        img: jax.Array,
+        mask: jax.Array,
+        obj_num: int,
+        state: Optional[S.EngineState] = None,
+        frame_step: int = 0,
+    ) -> S.EngineState:
+        """img: (1, H, W, 3); mask: (1, H, W) with ids 1..obj_num."""
+        g = self.num_groups(obj_num)
+        sep = separate_mask(mask, g, self.max_obj_num)
+        obj_nums = jnp.asarray(
+            separated_obj_nums(obj_num, g, self.max_obj_num), jnp.int32)
+        xs = self.engine.encode_image(params, img)
+        xs = self._broadcast_embs(xs, g)
+        if state is not None and state.batch < g:
+            state = _expand_groups(state, g)
+        return self.engine.add_reference_frame(
+            params, None, sep, obj_nums, state=state, img_embs=xs,
+            frame_step=frame_step)
+
+    def propagate(self, params, state: S.EngineState, img: jax.Array):
+        g = state.batch
+        xs = self.engine.encode_image(params, img)
+        xs = self._broadcast_embs(xs, g)
+        return self.engine.propagate(params, state, None, img_embs=xs)
+
+    def decode_logits(
+        self, params, state: S.EngineState,
+        output_size: Optional[Tuple[int, int]] = None,
+    ) -> jax.Array:
+        """Aggregated (1, h, w, 1 + G*M) logits
+        (reference: aot_engine.py:618-623)."""
+        logits = self.engine.decode_logits(params, state, output_size=None)
+        agg = (soft_aggregate_logits if self.aggregation == "soft"
+               else min_aggregate_logits)(logits, self.max_obj_num)
+        if output_size is not None:
+            agg = interpolate_bilinear(
+                agg, output_size, align_corners=self.engine.align_corners)
+        return agg
+
+    def update_memory(self, params, state: S.EngineState, mask: jax.Array):
+        """mask: (1, H16*16-ish, W) predicted full-id label map
+        (reference: aot_engine.py:625-630)."""
+        g = state.batch
+        sep = separate_mask(mask, g, self.max_obj_num)
+        return self.engine.update_memory(params, state, mask=sep)
+
+    def step(
+        self,
+        params,
+        state: S.EngineState,
+        img: jax.Array,
+        output_size: Tuple[int, int],
+    ):
+        """Fused per-frame inference: propagate -> decode -> argmax ->
+        update_memory, one jit dispatch, mask feedback stays on-device.
+        Returns (state, pred_label (1, H, W) int32, logits)."""
+        state = self.propagate(params, state, img)
+        logits = self.decode_logits(params, state, output_size=output_size)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # memory update uses the decoder-resolution mask downscaled back to
+        # the engine grid via one-hot conv (get_id_emb strides at 16)
+        state = self.update_memory(params, state, pred)
+        return state, pred, logits

@@ -1,0 +1,251 @@
+"""Evaluator: fully-online frame-by-frame multi-object VOS inference
+(reference: networks/managers/evaluator.py).
+
+Per video and TTA variant (scale x flip) an independent EngineState runs;
+per frame:
+  propagate -> decode logits at the ORIGINAL resolution -> (unflip) ->
+  softmax; TTA-mean -> argmax = prediction; ground-truth labels arriving
+  mid-video overwrite the prediction and re-reference all variants
+  (evaluator.py:363-399); otherwise each variant's own label (nearest-
+  downsampled to its input size) is written into memory.
+
+TPU specifics: the heavy propagate+decode graph is jitted per (input size,
+group count); the orig-size upsample+argmax is a separate small jit so
+per-video original sizes don't retrace the big graph. Mask PNGs are written
+by background threads; prediction fetches are async.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aot_tpu.data.eval_datasets import build_eval_dataset
+from aot_tpu.data.video_aug import multi_restrict_size
+from aot_tpu.engine import build_infer_engine
+from aot_tpu.engine.infer import soft_aggregate_logits
+from aot_tpu.ops.image import interpolate_bilinear, interpolate_nearest
+from aot_tpu.utils.eval_pack import zip_folder
+from aot_tpu.utils.image import save_mask_async
+
+
+class Evaluator:
+    """Single-process evaluator driving one accelerator; sequences can be
+    sharded over multiple processes via (rank, world) (the reference uses an
+    mp.Queue, evaluator.py:216-235; static striding is equivalent for a
+    fixed worker pool)."""
+
+    def __init__(self, cfg, model, params, rank: int = 0, world: int = 1,
+                 result_root: Optional[str] = None):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.rank = rank
+        self.world = world
+        self.engine = build_infer_engine(model, cfg)
+        self.result_root = result_root
+        self._jit_cache: Dict = {}
+
+    # --- jitted pieces (cached per shape signature) -----------------------
+    def _fn(self, name, *key, builder=None):
+        k = (name,) + key
+        if k not in self._jit_cache:
+            self._jit_cache[k] = builder()
+        return self._jit_cache[k]
+
+    def _make_prop_decode(self, flip: bool):
+        eng = self.engine
+
+        def fn(params, state, img, orig_size):
+            state = eng.propagate(params, state, img)
+            logits = eng.decode_logits(params, state, output_size=None)
+            logits = interpolate_bilinear(
+                logits, orig_size, align_corners=eng.engine.align_corners)
+            if flip:
+                logits = jnp.flip(logits, axis=2)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return state, prob
+
+        return jax.jit(fn, static_argnames=("orig_size",))
+
+    def _make_add_ref(self):
+        eng = self.engine
+
+        def fn(params, img, label_orig, obj_num, input_size):
+            lab = interpolate_nearest(
+                label_orig[..., None].astype(jnp.float32), input_size)
+            lab = lab[..., 0].astype(jnp.int32)
+            return eng.add_reference_frame(params, img, lab, obj_num)
+
+        return jax.jit(fn, static_argnames=("obj_num", "input_size"))
+
+    def _make_re_ref(self):
+        eng = self.engine
+
+        def fn(params, state, img, label_orig, obj_num, input_size,
+               frame_step):
+            lab = interpolate_nearest(
+                label_orig[..., None].astype(jnp.float32), input_size)
+            lab = lab[..., 0].astype(jnp.int32)
+            st = eng.add_reference_frame(params, img, lab, obj_num,
+                                         state=state, frame_step=frame_step)
+            return st
+
+        return jax.jit(fn, static_argnames=("obj_num", "input_size",
+                                            "frame_step"))
+
+    def _make_update(self):
+        eng = self.engine
+
+        def fn(params, state, label_orig, input_size):
+            lab = interpolate_nearest(
+                label_orig[..., None].astype(jnp.float32), input_size)
+            lab = lab[..., 0].astype(jnp.int32)
+            return eng.update_memory(params, state, lab)
+
+        return jax.jit(fn, static_argnames=("input_size",))
+
+    # --- per-video loop ------------------------------------------------------
+    def eval_sequence(self, seq) -> Dict:
+        cfg = self.cfg
+        params = self.params
+        scales = list(cfg.TEST_MULTISCALE)
+        use_flip = cfg.TEST_FLIP
+
+        states: List = [None] * (len(scales) * (2 if use_flip else 1))
+        flips: List[bool] = []
+        input_sizes: List[Tuple[int, int]] = []
+        pending_writes = []
+        obj_num = 0
+        frame_times = []
+        result_dir = os.path.join(self.result_root or ".", seq.seq_name)
+        os.makedirs(result_dir, exist_ok=True)
+
+        prop_fns = {}
+        add_ref = self._fn("add_ref", builder=self._make_add_ref)
+        re_ref = self._fn("re_ref", builder=self._make_re_ref)
+        update = self._fn("update", builder=self._make_update)
+
+        for frame_idx in range(len(seq)):
+            sample = seq[frame_idx]
+            image = sample["image"]
+            label = sample["label"]
+            meta = sample["meta"]
+            orig_size = (meta["height"], meta["width"])
+
+            variants = multi_restrict_size(
+                image, label, multi_scale=scales, flip=use_flip,
+                max_short_edge=cfg.TEST_MAX_SHORT_EDGE,
+                max_long_edge=cfg.TEST_MAX_LONG_EDGE,
+                align_corners=cfg.MODEL_ALIGN_CORNERS)
+
+            if frame_idx == 0:
+                obj_num = int(meta["obj_num"])
+                flips = [v["flip"] for v in variants]
+                input_sizes = [v["image"].shape[:2] for v in variants]
+                lab = jnp.asarray(label[None].astype(np.int32))
+                for vi, v in enumerate(variants):
+                    img = jnp.asarray(v["image"][None])
+                    vlab = jnp.flip(lab, axis=2) if v["flip"] else lab
+                    states[vi] = add_ref(params, img, vlab, obj_num,
+                                         tuple(input_sizes[vi]))
+                continue
+
+            t0 = time.perf_counter()
+            probs = []
+            for vi, v in enumerate(variants):
+                key = ("pd", flips[vi], tuple(input_sizes[vi]))
+                if key not in prop_fns:
+                    prop_fns[key] = self._make_prop_decode(flips[vi])
+                img = jnp.asarray(v["image"][None])
+                states[vi], prob = prop_fns[key](
+                    params, states[vi], img, orig_size)
+                probs.append(prob)
+
+            mean_prob = probs[0] if len(probs) == 1 else (
+                sum(probs) / len(probs))
+            pred_label = jnp.argmax(mean_prob, axis=-1).astype(jnp.int32)
+            per_variant_labels = (
+                [pred_label] if len(probs) == 1 else
+                [jnp.argmax(p, axis=-1).astype(jnp.int32) for p in probs])
+
+            new_label = label  # GT arriving mid-video (unflipped variant)
+            if new_label is not None:
+                gt = jnp.asarray(new_label[None].astype(np.int32))
+                keep = gt == 0
+                pred_label = jnp.where(keep, pred_label, gt)
+                per_variant_labels = [jnp.where(keep, l, gt)
+                                      for l in per_variant_labels]
+                obj_num = int(jax.device_get(jnp.max(pred_label)))
+                for vi in range(len(variants)):
+                    lab_v = per_variant_labels[min(vi, len(per_variant_labels) - 1)]
+                    if flips[vi]:
+                        lab_v = jnp.flip(lab_v, axis=2)
+                    states[vi] = re_ref(params, states[vi],
+                                        jnp.asarray(variants[vi]["image"][None]),
+                                        lab_v, obj_num,
+                                        tuple(input_sizes[vi]), frame_idx)
+            else:
+                for vi in range(len(variants)):
+                    lab_v = per_variant_labels[min(vi, len(per_variant_labels) - 1)]
+                    if flips[vi]:
+                        lab_v = jnp.flip(lab_v, axis=2)
+                    states[vi] = update(params, states[vi], lab_v,
+                                        tuple(input_sizes[vi]))
+
+            pred_label.block_until_ready()
+            frame_times.append(time.perf_counter() - t0)
+
+            mask_np = np.asarray(jax.device_get(pred_label))[0]
+            out_path = os.path.join(
+                result_dir, os.path.splitext(meta["current_name"])[0] + ".png")
+            squeeze_idx = meta.get("obj_idx")
+            pending_writes.append(
+                save_mask_async(mask_np.astype(np.uint8), out_path,
+                                list(squeeze_idx) if squeeze_idx else None))
+
+        for t in pending_writes:
+            t.join()
+        total = sum(frame_times) if frame_times else 1e-9
+        return {
+            "seq_name": seq.seq_name,
+            "frames": len(seq),
+            "timed_frames": len(frame_times),
+            "time": total,
+            "fps": len(frame_times) / total,
+        }
+
+    def evaluate(self) -> Dict:
+        cfg = self.cfg
+        dataset = build_eval_dataset(cfg, result_root=self.result_root)
+        stats = []
+        t_start = time.time()
+        for idx in range(len(dataset)):
+            if idx % self.world != self.rank:
+                continue
+            seq = dataset[idx]
+            s = self.eval_sequence(seq)
+            stats.append(s)
+            print(f"[eval rank {self.rank}] {s['seq_name']}: "
+                  f"{s['timed_frames']} frames, {s['fps']:.1f} FPS")
+        total_time = sum(s["time"] for s in stats) or 1e-9
+        total_frames = sum(s["timed_frames"] for s in stats)
+        summary = {
+            "sequences": len(stats),
+            "total_frames": total_frames,
+            "fps": total_frames / total_time,
+            "wall_time": time.time() - t_start,
+        }
+        print(f"[eval rank {self.rank}] done: {summary}")
+        return summary
+
+    def package_submission(self, zip_path: str) -> None:
+        """Zip Annotations for the benchmark server
+        (reference: evaluator.py:538-542)."""
+        zip_folder(self.result_root, zip_path)

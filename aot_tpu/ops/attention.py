@@ -46,12 +46,14 @@ def _mem_len_rescale(
     q: jax.Array, valid_len, q_len: int, max_mem_len_ratio: float
 ) -> jax.Array:
     """Eval-time query rescale for very long memories
-    (reference: attention.py:84-89)."""
+    (reference: attention.py:84-89). valid_len: scalar or (B,)."""
     if max_mem_len_ratio <= 0:
         return q
-    ratio = valid_len / q_len
+    ratio = jnp.asarray(valid_len, jnp.float32) / q_len
     scaling = jnp.log(ratio) / math.log(max_mem_len_ratio)
-    return jnp.where(ratio > max_mem_len_ratio, q * scaling, q)
+    factor = jnp.where(ratio > max_mem_len_ratio, scaling, 1.0)
+    factor = factor.reshape((-1,) + (1,) * (q.ndim - 1)) if factor.ndim else factor
+    return q * factor.astype(q.dtype)
 
 
 def _topk_filter(scores: jax.Array, top_k: int) -> jax.Array:
@@ -100,7 +102,9 @@ def global_attention(
     )
     if valid_len is not None:
         key_ids = jnp.arange(lk)[None, None, None, :]
-        scores = jnp.where(key_ids < valid_len, scores, NEG_INF)
+        vl = jnp.asarray(valid_len)
+        vl = vl.reshape(-1, 1, 1, 1) if vl.ndim else vl
+        scores = jnp.where(key_ids < vl, scores, NEG_INF)
     scores = _topk_filter(scores, top_k)
 
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)

@@ -1,0 +1,24 @@
+"""Runtime setup: persistent compilation cache + matmul precision.
+
+First compiles through the axon tunnel take minutes; the persistent cache
+makes every later process start warm. Call setup_runtime() at every CLI
+entry point before the first jit.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_runtime(matmul_precision: str | None = None,
+                  cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "AOT_TPU_CACHE", os.path.expanduser("~/.cache/aot_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if matmul_precision:
+        jax.config.update("jax_default_matmul_precision", matmul_precision)

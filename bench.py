@@ -1,0 +1,92 @@
+"""Single-chip inference benchmark.
+
+Measures multi-object online VOS FPS on the flagship AOTT config at DAVIS
+480p (465x465 stride-16-snapped), 10 objects, fully-online frame stepping —
+the reference's headline setting (51.4 FPS on 1xV100, MODEL_ZOO.md:99).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 51.4  # AOTT multi-object FPS, 1xV100 (MODEL_ZOO.md:99)
+
+
+def main():
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aot_tpu.configs import build_config
+    from aot_tpu.engine import build_infer_engine
+    from aot_tpu.models import build_vos_model
+
+    model_name = os.environ.get("BENCH_MODEL", "aott")
+    n_objects = int(os.environ.get("BENCH_OBJECTS", "10"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    from aot_tpu.utils.runtime import setup_runtime
+
+    cfg = build_config(stage="pre_ytb_dav", model=model_name,
+                       TEST_DTYPE=dtype, TEST_LONG_TERM_MEM_CAP=8)
+    setup_runtime(matmul_precision=cfg.TEST_MATMUL_PRECISION)
+    model = build_vos_model(cfg, eval_mode=True)
+
+    H = W = 465 if cfg.MODEL_ALIGN_CORNERS else 464
+    rng = np.random.RandomState(0)
+    img0 = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    oh = jnp.zeros((1, H, W, 11), jnp.float32).at[..., 0].set(1.0)
+    params = jax.jit(partial(model.init, deterministic=True))(
+        jax.random.PRNGKey(0), img0, oh)["params"]
+
+    eng = build_infer_engine(model, cfg)
+    mask = np.zeros((1, H, W), np.int32)
+    side = int(np.ceil(np.sqrt(n_objects)))
+    cell = H // (side + 1)
+    for i in range(n_objects):
+        y, x = (i // side) * cell + 10, (i % side) * cell + 10
+        mask[0, y:y + cell - 15, x:x + cell - 15] = i + 1
+
+    add = jax.jit(lambda p, i, m: eng.add_reference_frame(p, i, m,
+                                                          obj_num=n_objects))
+    step = jax.jit(lambda p, s, i: eng.step(p, s, i, output_size=(H, W)),
+                   donate_argnums=(1,))
+
+    state = add(params, img0, jnp.asarray(mask))
+
+    # distinct host frames (simulating decoded video); measurement includes
+    # the per-frame host->device transfer, pipelined as the evaluator does
+    host_frames = [rng.rand(1, H, W, 3).astype(np.float32)
+                   for _ in range(n_frames)]
+
+    # warmup / compile
+    state, pred, _ = step(params, state, jnp.asarray(host_frames[0]))
+    jax.block_until_ready(pred)
+
+    preds = []
+    t0 = time.perf_counter()
+    for f in host_frames:
+        state, pred, _ = step(params, state, jnp.asarray(f))
+        preds.append(pred)
+    jax.block_until_ready(preds[-1])
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": f"{model_name}_480p_{n_objects}obj_online_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

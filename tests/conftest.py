@@ -3,7 +3,10 @@ anywhere (the driver benches on real TPU separately)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS; only
+# JAX_PLATFORM_NAME reliably forces the CPU backend. Set both.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# JAX >= 0.9 lowers fp32 matmuls to bf16 by default (TPU-friendly); tests
+# verify math against fp64/numpy oracles, so force exact fp32 here.
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
