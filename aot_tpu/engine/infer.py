@@ -100,6 +100,9 @@ def build_infer_engine(model, cfg, aggregation: str = "soft") -> "VOSInferEngine
     """Build the eval engine from a Config (reference:
     networks/engines/__init__.py:5-21 name x phase dispatch — here the AOT /
     DeAOT split is carried by the model's memory structure)."""
+    from aot_tpu.ops.attention import set_attn_impl
+
+    set_attn_impl(cfg.get("ATTN_IMPL", "auto"))
     eng = VOSEngine(
         model,
         max_obj_num=cfg.MODEL_MAX_OBJ_NUM,

@@ -66,6 +66,30 @@ def _topk_filter(scores: jax.Array, top_k: int) -> jax.Array:
     return jnp.where(scores >= kth, scores, NEG_INF)
 
 
+# Attention implementation policy: 'auto' routes large ring-buffer reads to
+# the Pallas flash kernel on TPU; 'xla' forces the dense oracle below.
+# Set once at startup via set_attn_impl (cfg.ATTN_IMPL).
+_ATTN_IMPL = "auto"
+_FLASH_MIN_KEYS = 4096
+
+
+def set_attn_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    _ATTN_IMPL = impl
+
+
+def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio) -> bool:
+    if _ATTN_IMPL == "xla" or _ATTN_IMPL == "reference":
+        return False
+    if top_k > 0 or max_mem_len_ratio > 0 or valid_len is None:
+        return False
+    if _ATTN_IMPL == "pallas":
+        return True
+    import jax as _jax
+
+    return lk >= _FLASH_MIN_KEYS and _jax.default_backend() == "tpu"
+
+
 def global_attention(
     q: jax.Array,
     k: jax.Array,
@@ -85,6 +109,12 @@ def global_attention(
     Returns (B, Lq, Cv) in v.dtype.
     """
     b, lq, cq = q.shape
+    if _use_flash(k.shape[1], valid_len, top_k, max_mem_len_ratio):
+        from aot_tpu.ops.pallas.flash_mem_attn import flash_memory_attention
+
+        vl = jnp.asarray(valid_len)
+        vl = jnp.broadcast_to(vl.reshape(-1), (b,))
+        return flash_memory_attention(q, k, v, vl, num_heads, d_att)
     lk = k.shape[1]
     h = num_heads
     d = d_att if d_att is not None else cq // h

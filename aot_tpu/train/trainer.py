@@ -118,6 +118,9 @@ class Trainer:
                              num_workers=cfg.DATA_WORKERS, seed=self.seed)
         rng = jax.random.PRNGKey(self.seed + 1)
 
+        from aot_tpu.utils.logging import MetricsLogger
+
+        metrics = MetricsLogger(cfg.DIR_LOG, tb=cfg.TRAIN_TBLOG)
         loss_meter = AverageMeter()
         iou_meter = AverageMeter()
         step = self.start_step
@@ -151,12 +154,21 @@ class Trainer:
                     f"(avg {loss_meter.moving_avg:.4f}) "
                     f"iou {float(s['iou']):.4f} grad {float(s['grad_norm']):.2f} "
                     f"{dt / cfg.TRAIN_LOG_STEP:.2f}s/it eta {eta_h:.2f}h")
+                metrics.log(step, {
+                    "loss": float(s["loss"]),
+                    "aux_loss": float(s["aux_loss"]),
+                    "pred_loss": float(s["pred_loss"]),
+                    "iou": float(s["iou"]),
+                    "grad_norm": float(s["grad_norm"]),
+                    "sec_per_it": dt / cfg.TRAIN_LOG_STEP,
+                })
                 t_last = time.time()
 
             if step % cfg.TRAIN_SAVE_STEP == 0 or step == total:
                 self.save_checkpoints(step)
 
         loader.close()
+        metrics.close()
 
     def save_checkpoints(self, step: int):
         """Raw + EMA streams (reference: trainer.py:553-591)."""

@@ -269,6 +269,81 @@ def _swin_rules(prefix_my="encoder", prefix_t="encoder",
     return rules
 
 
+def _mobilenetv3_rules(prefix_my="encoder", prefix_t="encoder") -> List:
+    from aot_tpu.models.encoders.mobilenetv3 import _walk_cfgs
+
+    rules: List = []
+    _map_conv(f"{prefix_my}/features_0_conv", f"{prefix_t}.features.0.0",
+              rules, bias=False)
+    _map_bn(f"{prefix_my}/features_0_bn", f"{prefix_t}.features.0.1", rules)
+    blocks, last_exp = _walk_cfgs(16)
+    for idx, (k, exp, out, se, hs, s, d, inp) in enumerate(blocks, start=1):
+        my = f"{prefix_my}/features_{idx}"
+        tp = f"{prefix_t}.features.{idx}.conv"
+        if inp == exp:  # dw-first branch (mobilenetv3.py:96-110)
+            seq = [("dw", 0, True), ("dw_bn", 1, None)]
+            se_i, pw_i = 3, 4
+        else:
+            seq = [("pw", 0, False), ("pw_bn", 1, None),
+                   ("dw", 3, True), ("dw_bn", 4, None)]
+            se_i, pw_i = 5, 7
+        for name, i, dw in seq:
+            if name.endswith("bn"):
+                _map_bn(f"{my}/{name}", f"{tp}.{i}", rules)
+            else:
+                _map_conv(f"{my}/{name}", f"{tp}.{i}", rules, bias=False,
+                          dw=dw)
+        if se:
+            _map_linear(f"{my}/se/fc1", f"{tp}.{se_i}.fc.0", rules)
+            _map_linear(f"{my}/se/fc2", f"{tp}.{se_i}.fc.2", rules)
+        _map_conv(f"{my}/pw_linear", f"{tp}.{pw_i}", rules, bias=False)
+        _map_bn(f"{my}/pw_linear_bn", f"{tp}.{pw_i + 1}", rules)
+    _map_conv(f"{prefix_my}/conv_conv", f"{prefix_t}.conv.0", rules,
+              bias=False)
+    _map_bn(f"{prefix_my}/conv_bn", f"{prefix_t}.conv.1", rules)
+    return rules
+
+
+def _resnest_rules(layers, prefix_my="encoder", prefix_t="encoder") -> List:
+    rules: List = []
+    # deep stem Sequential [conv, bn, relu, conv, bn, relu, conv]
+    _map_conv(f"{prefix_my}/stem_conv1", f"{prefix_t}.conv1.0", rules,
+              bias=False)
+    _map_bn(f"{prefix_my}/stem_bn1", f"{prefix_t}.conv1.1", rules)
+    _map_conv(f"{prefix_my}/stem_conv2", f"{prefix_t}.conv1.3", rules,
+              bias=False)
+    _map_bn(f"{prefix_my}/stem_bn2", f"{prefix_t}.conv1.4", rules)
+    _map_conv(f"{prefix_my}/stem_conv3", f"{prefix_t}.conv1.6", rules,
+              bias=False)
+    _map_bn(f"{prefix_my}/bn1", f"{prefix_t}.bn1", rules)
+    for li, n_blocks in enumerate(layers, start=1):
+        for b in range(n_blocks):
+            my = f"{prefix_my}/layer{li}_{b}"
+            tp = f"{prefix_t}.layer{li}.{b}"
+            _map_conv(f"{my}/conv1", f"{tp}.conv1", rules, bias=False)
+            _map_bn(f"{my}/bn1", f"{tp}.bn1", rules)
+            _map_conv(f"{my}/conv2/conv", f"{tp}.conv2.conv", rules,
+                      bias=False)
+            _map_bn(f"{my}/conv2/bn0", f"{tp}.conv2.bn0", rules)
+            # fc1/fc2 are 1x1 convs in torch -> Dense here
+            rules.append((f"{my}/conv2/fc1/kernel", f"{tp}.conv2.fc1.weight",
+                          lambda w: _t_linear(w[:, :, 0, 0])))
+            rules.append((f"{my}/conv2/fc1/bias", f"{tp}.conv2.fc1.bias",
+                          None))
+            _map_bn(f"{my}/conv2/bn1", f"{tp}.conv2.bn1", rules)
+            rules.append((f"{my}/conv2/fc2/kernel", f"{tp}.conv2.fc2.weight",
+                          lambda w: _t_linear(w[:, :, 0, 0])))
+            rules.append((f"{my}/conv2/fc2/bias", f"{tp}.conv2.fc2.bias",
+                          None))
+            _map_conv(f"{my}/conv3", f"{tp}.conv3", rules, bias=False)
+            _map_bn(f"{my}/bn3", f"{tp}.bn3", rules)
+            if b == 0:
+                _map_conv(f"{my}/downsample_conv", f"{tp}.downsample.1",
+                          rules, bias=False)
+                _map_bn(f"{my}/downsample_bn", f"{tp}.downsample.2", rules)
+    return rules
+
+
 def build_rules(cfg) -> List:
     """Full model mapping for the reference's AOT/DeAOT checkpoints."""
     rules: List = []
@@ -280,7 +355,11 @@ def build_rules(cfg) -> List:
         rules += _resnet_rules(layers)
     elif "swin" in enc:
         rules += _swin_rules()
-    # resnest/mobilenetv3 converters are added with those encoders
+    elif enc == "mobilenetv3":
+        rules += _mobilenetv3_rules()
+    elif enc in ("resnest50", "resnest101"):
+        layers = (3, 4, 6) if enc == "resnest50" else (3, 4, 23)
+        rules += _resnest_rules(layers)
 
     _map_conv("encoder_projector", "encoder_projector", rules)
     _map_conv("patch_wise_id_bank", "patch_wise_id_bank", rules)

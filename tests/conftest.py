@@ -22,3 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# CPU op-compiles in this image are slow (~seconds each); persist them.
+from aot_tpu.utils.runtime import setup_runtime  # noqa: E402
+
+setup_runtime()

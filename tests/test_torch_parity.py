@@ -84,7 +84,7 @@ def _build_mine(model_name: str):
 
 
 @pytest.mark.parametrize("model_name",
-                         ["aott", "aots", "deaott", "r50_aotl", "swinb_aotl"])
+                         ["aott", "aots", "deaott", "r50_aotl", "swinb_aotl", "rs101_aotl"])
 def test_reference_forward_parity(model_name, tmp_path, monkeypatch):
     import jax
     import jax.numpy as jnp
