@@ -111,6 +111,27 @@ class Evaluator:
 
         return jax.jit(fn, static_argnames=("input_size",))
 
+    def _make_update_prob(self):
+        """MODEL_USE_PREV_PROB: write soft probabilities instead of hard
+        labels into memory (reference: evaluator.py:428-446)."""
+        eng = self.engine
+        max_obj = self.engine.max_obj_num
+
+        def fn(params, state, prob_orig, input_size):
+            # prob_orig: (1, H, W, 1 + G*M) aggregated; regroup per engine
+            g = state.batch
+            p = interpolate_nearest(prob_orig, input_size)
+            fg = p[..., 1:]
+            groups = []
+            for gi in range(g):
+                sl = fg[..., gi * max_obj:(gi + 1) * max_obj]
+                bg = 1.0 - jnp.sum(sl, axis=-1, keepdims=True)
+                groups.append(jnp.concatenate([bg, sl], axis=-1))
+            prob = jnp.concatenate(groups, axis=0)
+            return eng.engine.update_memory(params, state, prob=prob)
+
+        return jax.jit(fn, static_argnames=("input_size",))
+
     # --- per-video loop ------------------------------------------------------
     def eval_sequence(self, seq) -> Dict:
         cfg = self.cfg
@@ -191,6 +212,15 @@ class Evaluator:
                                         jnp.asarray(variants[vi]["image"][None]),
                                         lab_v, obj_num,
                                         tuple(input_sizes[vi]), frame_idx)
+            elif self.cfg.MODEL_USE_PREV_PROB:
+                upd_prob = self._fn("update_prob",
+                                    builder=self._make_update_prob)
+                for vi in range(len(variants)):
+                    p = probs[min(vi, len(probs) - 1)]
+                    if flips[vi]:
+                        p = jnp.flip(p, axis=2)
+                    states[vi] = upd_prob(params, states[vi], p,
+                                          tuple(input_sizes[vi]))
             else:
                 for vi in range(len(variants)):
                     lab_v = per_variant_labels[min(vi, len(per_variant_labels) - 1)]

@@ -71,6 +71,8 @@ def _topk_filter(scores: jax.Array, top_k: int) -> jax.Array:
 # Set once at startup via set_attn_impl (cfg.ATTN_IMPL).
 _ATTN_IMPL = "auto"
 _FLASH_MIN_KEYS = 4096
+# max score-tensor elements before query chunking kicks in (~256 MB fp32)
+_SCORE_BUDGET = 64 * 1024 * 1024
 
 
 def set_attn_impl(impl: str) -> None:
@@ -79,15 +81,18 @@ def set_attn_impl(impl: str) -> None:
 
 
 def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio) -> bool:
-    if _ATTN_IMPL == "xla" or _ATTN_IMPL == "reference":
+    if _ATTN_IMPL in ("xla", "reference"):
         return False
     if top_k > 0 or max_mem_len_ratio > 0 or valid_len is None:
         return False
     if _ATTN_IMPL == "pallas":
         return True
-    import jax as _jax
-
-    return lk >= _FLASH_MIN_KEYS and _jax.default_backend() == "tpu"
+    # 'auto' currently keeps XLA: measured on v5e at the AOTL eval shape
+    # (Lq=900, Lk=28800, h=8, d=32 fp32) the flash kernel runs 6.9ms vs
+    # XLA 4.7ms — d_att=32 wastes 3/4 of the MXU/lanes in the kernel while
+    # XLA's fused dense path is already bandwidth-efficient. Revisit with a
+    # heads->lanes packed layout.
+    return False
 
 
 def global_attention(
@@ -127,18 +132,36 @@ def global_attention(
     kh = _split_heads(k, h)
     vh = _split_heads(v, h)
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-    )
-    if valid_len is not None:
-        key_ids = jnp.arange(lk)[None, None, None, :]
-        vl = jnp.asarray(valid_len)
-        vl = vl.reshape(-1, 1, 1, 1) if vl.ndim else vl
-        scores = jnp.where(key_ids < vl, scores, NEG_INF)
-    scores = _topk_filter(scores, top_k)
+    def attend(qc):
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qc, kh, preferred_element_type=jnp.float32
+        )
+        if valid_len is not None:
+            key_ids = jnp.arange(lk)[None, None, None, :]
+            vl = jnp.asarray(valid_len)
+            vl = vl.reshape(-1, 1, 1, 1) if vl.ndim else vl
+            scores = jnp.where(key_ids < vl, scores, NEG_INF)
+        scores = _topk_filter(scores, top_k)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
+                          preferred_element_type=jnp.float32)
 
-    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh, preferred_element_type=jnp.float32)
+    # bound the score tensor to ~_SCORE_BUDGET elements by chunking queries
+    # (the reference's eval-time qk_chunks, attention.py:8-19,97,113 — here
+    # automatic, as a sequential lax.map over query chunks)
+    n_score = b * h * lq * lk
+    if n_score > _SCORE_BUDGET and lq > 256:
+        chunk = max(256, _SCORE_BUDGET // max(b * h * lk, 1))
+        chunk = min(chunk, lq)
+        pad = (-lq) % chunk
+        qp = jnp.pad(qh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        nc = qp.shape[2] // chunk
+        qc = qp.reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+        out = jax.lax.map(attend, qc)  # (nc, B, h, chunk, dv)
+        out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, -1)
+        out = out[:, :, :lq]
+    else:
+        out = attend(qh)
     return _merge_heads(out).astype(v.dtype)
 
 
@@ -212,6 +235,11 @@ def relative_emb_from_q(q: jax.Array, weight: jax.Array, bias: jax.Array,
     return out + bias[None, :, None, :]
 
 
+# queries above this count switch to the banded formulation (the dense
+# (HW x HW) score tensor at full-res DAVIS would not fit in HBM)
+_DENSE_LOCAL_MAX_TOKENS = 2500
+
+
 def local_attention(
     q: jax.Array,
     k: jax.Array,
@@ -225,6 +253,28 @@ def local_attention(
     dilation: int = 1,
     d_att: Optional[int] = None,
     gate_from: Optional[jax.Array] = None,
+) -> jax.Array:
+    if size_2d[0] * size_2d[1] > _DENSE_LOCAL_MAX_TOKENS and dilation == 1:
+        return local_attention_banded(
+            q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
+            max_dis=max_dis, d_att=d_att)
+    return _local_attention_dense(
+        q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
+        max_dis=max_dis, dilation=dilation, d_att=d_att)
+
+
+def _local_attention_dense(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,
+    rel_v: Optional[jax.Array],
+    *,
+    num_heads: int,
+    size_2d: Tuple[int, int],
+    max_dis: int = 7,
+    dilation: int = 1,
+    d_att: Optional[int] = None,
 ) -> jax.Array:
     """Dilated local-window attention (the short-term path).
 
@@ -279,6 +329,140 @@ def local_attention(
             preferred_element_type=jnp.float32,
         )
 
+    return _merge_heads(out).astype(v.dtype)
+
+
+@lru_cache(maxsize=16)
+def _band_maps(h: int, w: int, rq: int, max_dis: int):
+    """Maps for banded local attention with query row-bands of rq rows and
+    key bands of (rq + 2*max_dis) rows. Key rows are taken from the padded
+    image so every band has identical geometry.
+
+    Returns (win_idx, in_win) of shape (rq*w, kb*w): window-slot index /
+    validity for each (query-in-band, key-in-band) pair (identical for all
+    bands by translation invariance; image-boundary masking comes from the
+    zero-padded band contents carrying an extra valid flag).
+    """
+    win = 2 * max_dis + 1
+    kb = rq + 2 * max_dis
+    qy, qx = np.meshgrid(np.arange(rq), np.arange(w), indexing="ij")
+    ky, kx = np.meshgrid(np.arange(kb), np.arange(w), indexing="ij")
+    dy = ky.reshape(-1)[None, :] - (qy.reshape(-1)[:, None] + max_dis)
+    dx = kx.reshape(-1)[None, :] - qx.reshape(-1)[:, None]
+    in_win = (np.abs(dy) <= max_dis) & (np.abs(dx) <= max_dis)
+    win_idx = np.where(in_win, (dy + max_dis) * win + (dx + max_dis), 0)
+
+    # inverse map: band key index for each (query-in-band, window slot)
+    wdy, wdx = np.meshgrid(np.arange(-max_dis, max_dis + 1),
+                           np.arange(-max_dis, max_dis + 1), indexing="ij")
+    kyy = (qy.reshape(-1)[:, None] + max_dis) + wdy.reshape(-1)[None, :]
+    kxx = qx.reshape(-1)[:, None] + wdx.reshape(-1)[None, :]
+    slot_ok = (kxx >= 0) & (kxx < w)  # rows always inside the band
+    key_of = np.where(slot_ok, kyy * w + np.clip(kxx, 0, w - 1), 0)
+    return (win_idx.astype(np.int32), in_win,
+            key_of.astype(np.int32), slot_ok)
+
+
+def local_attention_banded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,
+    rel_v: Optional[jax.Array],
+    *,
+    num_heads: int,
+    size_2d: Tuple[int, int],
+    max_dis: int = 7,
+    d_att: Optional[int] = None,
+    rows_per_band: int = 8,
+) -> jax.Array:
+    """Banded local window attention: scores computed only against the
+    (rows_per_band + 2*max_dis)-row key band around each query row-band —
+    O(HW * band) memory instead of O(HW^2), enabling full-resolution eval.
+    Numerically identical to the dense path (oracle-tested)."""
+    hgt, wid = size_2d
+    hw = hgt * wid
+    b = q.shape[0]
+    h = num_heads
+    d = d_att if d_att is not None else q.shape[-1] // h
+    dv = v.shape[-1] // h
+    rq = rows_per_band
+    n_bands = (hgt + rq - 1) // rq
+    pad_rows = n_bands * rq - hgt
+    kb = rq + 2 * max_dis
+
+    win_idx_np, in_win_np, key_of_np, slot_ok_np = _band_maps(
+        hgt, wid, rq, max_dis)
+    win_idx = jnp.asarray(win_idx_np)
+    in_win = jnp.asarray(in_win_np)
+
+    def to_heads(x, dd):
+        return x.reshape(b, hw, h, dd).transpose(0, 2, 1, 3)
+
+    qh = to_heads(q / math.sqrt(d), d)      # (B, h, HW, d)
+    kh = to_heads(k, d)
+    vh = to_heads(v, dv)
+
+    # pad the key/value image by max_dis rows top/bottom (+ band-alignment
+    # padding at the bottom) with a valid flag
+    def pad_rows_img(x, dd):
+        img = x.reshape(b, h, hgt, wid, dd)
+        return jnp.pad(img, ((0, 0), (0, 0),
+                             (max_dis, max_dis + pad_rows), (0, 0), (0, 0)))
+
+    k_img = pad_rows_img(kh, d)
+    v_img = pad_rows_img(vh, dv)
+    kv_valid = jnp.pad(jnp.ones((hgt,), bool),
+                       (max_dis, max_dis + pad_rows))
+
+    # band views: queries (nB, rq*wid, .), keys (nB, kb*wid, .)
+    q_img = jnp.pad(qh.reshape(b, h, hgt, wid, d),
+                    ((0, 0), (0, 0), (0, pad_rows), (0, 0), (0, 0)))
+    q_bands = q_img.reshape(b, h, n_bands, rq * wid, d)
+    band_starts = jnp.arange(n_bands) * rq
+
+    def band_slice(img, dd):
+        def one(s):
+            return jax.lax.dynamic_slice_in_dim(img, s, kb, axis=2)
+        sl = jax.vmap(one)(band_starts)          # (nB, B, h, kb, wid, dd)
+        return sl.transpose(1, 2, 0, 3, 4, 5).reshape(
+            b, h, n_bands, kb * wid, dd)
+
+    k_bands = band_slice(k_img, d)
+    v_bands = band_slice(v_img, dv)
+    valid_bands = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(kv_valid, s, kb))(band_starts)
+    valid_bands = jnp.repeat(valid_bands, wid, axis=1)  # (nB, kb*wid)
+
+    scores = jnp.einsum("bhnqd,bhnkd->bhnqk", q_bands, k_bands,
+                        preferred_element_type=jnp.float32)
+    # per-query relative key bias, gathered into band coordinates
+    rb_img = jnp.pad(
+        rel_bias.reshape(b, h, hgt, wid, -1),
+        ((0, 0), (0, 0), (0, pad_rows), (0, 0), (0, 0)))
+    rb_bands = rb_img.reshape(b, h, n_bands, rq * wid, -1)
+    bias = jnp.take_along_axis(
+        rb_bands, win_idx[None, None, None, :, :], axis=-1)
+    mask = in_win[None, None, None] & valid_bands[None, None, :, None, :]
+    scores = jnp.where(mask, scores + bias, NEG_INF)
+
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhnqk,bhnkd->bhnqd", attn.astype(v.dtype), v_bands,
+                     preferred_element_type=jnp.float32)
+
+    if rel_v is not None:
+        # value bias: re-express attention in window coordinates via the
+        # inverse LUT (cheap (HW, win2) gather)
+        key_of = jnp.asarray(key_of_np)
+        slot_ok = jnp.asarray(slot_ok_np)
+        attn_win = jnp.take_along_axis(
+            attn, key_of[None, None, None, :, :], axis=-1)
+        attn_win = jnp.where(slot_ok[None, None, None], attn_win, 0.0)
+        out = out + jnp.einsum(
+            "bhnqw,hcw->bhnqc", attn_win, rel_v.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+
+    out = out.reshape(b, h, n_bands * rq * wid, dv)[:, :, :hw]
     return _merge_heads(out).astype(v.dtype)
 
 

@@ -14,7 +14,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_FPS = 51.4  # AOTT multi-object FPS, 1xV100 (MODEL_ZOO.md:99)
+# per-model multi-object FPS on 1xV100 (BASELINE.md; MODEL_ZOO.md:43-104)
+BASELINES = {
+    "aott": 51.4, "aots": 40.0, "aotb": 29.6, "aotl": 18.7,
+    "r50_aotl": 18.0, "r101_aotl": 18.0, "rs101_aotl": 18.0,
+    "swinb_aotl": 12.1,
+    "deaott": 53.4, "deaots": 38.7, "deaotb": 30.4, "deaotl": 24.7,
+    "r50_deaotl": 22.4, "swinb_deaotl": 11.9,
+}
+BASELINE_FPS = BASELINES["aott"]
 
 
 def main():
@@ -80,11 +88,12 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt
+    base = BASELINES.get(model_name, BASELINE_FPS)
     print(json.dumps({
         "metric": f"{model_name}_480p_{n_objects}obj_online_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / base, 3),
     }))
 
 
