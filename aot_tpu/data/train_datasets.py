@@ -153,7 +153,7 @@ class VOSTrain:
     def __init__(self, image_root, label_root, imglistdic, transform,
                  repeat_time=1, rand_gap=3, seq_len=5, rand_reverse=True,
                  dynamic_merge=True, merge_prob=0.3, max_obj_n=10,
-                 rgb=True):
+                 rgb=True, enable_prev_frame=False):
         self.image_root = image_root
         self.label_root = label_root
         self.imglistdic = imglistdic
@@ -166,6 +166,7 @@ class VOSTrain:
         self.merge_prob = merge_prob
         self.max_obj_n = max_obj_n
         self.rgb = rgb
+        self.enable_prev_frame = enable_prev_frame
         self.seqs = list(imglistdic.keys())
 
     def __len__(self):
@@ -234,21 +235,51 @@ class VOSTrain:
 
         frames = labels = None
         for _ in range(5):  # consistency retries
-            gaps, _total = self._gaps(self.seq_len - 1)
-            ref_index = self._ref_index(seqname, lablist)
-            ref_img, ref_lab = self._read(seqname, imagelist, lablist,
-                                          ref_index)
-            ref_objs = set(np.unique(ref_lab).tolist())
+            if self.enable_prev_frame:
+                # prev frame sampled independently; ref picked outside the
+                # [prev, last-curr] span (reference:
+                # train_datasets.py:476-508)
+                gaps, total = self._gaps(self.seq_len - 2)
+                search = len(lablist) - total
+                prev_index = (np.random.randint(search) if search > 1 else 0)
+                prev_img, prev_lab = self._read(seqname, imagelist, lablist,
+                                                prev_index)
+                mid = [(prev_img, prev_lab)]
+                objs: set = set(np.unique(prev_lab).tolist())
+                now = prev_index
+                end_index = prev_index
+                for g in gaps:
+                    now = self._reflect(len(lablist), now + g)
+                    end_index = max(end_index, now)
+                    img, lab = self._read(seqname, imagelist, lablist, now)
+                    mid.append((img, lab))
+                    objs |= set(np.unique(lab).tolist())
+                ref_index = self._ref_index(seqname, lablist)
+                for _try in range(5):
+                    if not (prev_index < ref_index <= end_index):
+                        break
+                    ref_index = self._ref_index(seqname, lablist)
+                ref_img, ref_lab = self._read(seqname, imagelist, lablist,
+                                              ref_index)
+                ref_objs = set(np.unique(ref_lab).tolist())
+                frames = [ref_img] + [m[0] for m in mid]
+                labels = [ref_lab] + [m[1] for m in mid]
+            else:
+                gaps, _total = self._gaps(self.seq_len - 1)
+                ref_index = self._ref_index(seqname, lablist)
+                ref_img, ref_lab = self._read(seqname, imagelist, lablist,
+                                              ref_index)
+                ref_objs = set(np.unique(ref_lab).tolist())
 
-            frames, labels = [ref_img], [ref_lab]
-            objs: set = set()
-            now = ref_index
-            for g in gaps:
-                now = self._reflect(len(lablist), now + g)
-                img, lab = self._read(seqname, imagelist, lablist, now)
-                frames.append(img)
-                labels.append(lab)
-                objs |= set(np.unique(lab).tolist())
+                frames, labels = [ref_img], [ref_lab]
+                objs = set()
+                now = ref_index
+                for g in gaps:
+                    now = self._reflect(len(lablist), now + g)
+                    img, lab = self._read(seqname, imagelist, lablist, now)
+                    frames.append(img)
+                    labels.append(lab)
+                    objs |= set(np.unique(lab).tolist())
             if all(o in ref_objs for o in objs if o != 0):
                 break
 
@@ -276,7 +307,8 @@ class DAVIS2017_Train(VOSTrain):
     def __init__(self, root="./DAVIS", split=("train",), transform=None,
                  full_resolution=False, year=2017, repeat_time=1,
                  rand_gap=12, seq_len=5, rand_reverse=True,
-                 dynamic_merge=True, merge_prob=0.3, max_obj_n=10):
+                 dynamic_merge=True, merge_prob=0.3, max_obj_n=10,
+                 enable_prev_frame=False):
         resolution = "Full-Resolution" if full_resolution else "480p"
         if full_resolution and not os.path.exists(
                 os.path.join(root, "JPEGImages", resolution)):
@@ -297,7 +329,8 @@ class DAVIS2017_Train(VOSTrain):
                          repeat_time=repeat_time, rand_gap=rand_gap,
                          seq_len=seq_len, rand_reverse=rand_reverse,
                          dynamic_merge=dynamic_merge, merge_prob=merge_prob,
-                         max_obj_n=max_obj_n)
+                         max_obj_n=max_obj_n,
+                         enable_prev_frame=enable_prev_frame)
 
 
 class YOUTUBEVOS_Train(VOSTrain):
@@ -306,7 +339,8 @@ class YOUTUBEVOS_Train(VOSTrain):
 
     def __init__(self, root="./datasets/YTB", year=2019, transform=None,
                  rand_gap=3, seq_len=5, rand_reverse=True,
-                 dynamic_merge=True, merge_prob=0.3, max_obj_n=10):
+                 dynamic_merge=True, merge_prob=0.3, max_obj_n=10,
+                 enable_prev_frame=False):
         root = os.path.join(root, str(year), "train")
         image_root = os.path.join(root, "JPEGImages")
         label_root = os.path.join(root, "Annotations")
@@ -328,7 +362,8 @@ class YOUTUBEVOS_Train(VOSTrain):
         super().__init__(image_root, label_root, imglistdic, transform,
                          repeat_time=1, rand_gap=rand_gap, seq_len=seq_len,
                          rand_reverse=rand_reverse, dynamic_merge=dynamic_merge,
-                         merge_prob=merge_prob, max_obj_n=max_obj_n)
+                         merge_prob=merge_prob, max_obj_n=max_obj_n,
+                         enable_prev_frame=enable_prev_frame)
 
 
 class TEST:
@@ -375,6 +410,7 @@ class ConcatDataset:
 def build_train_dataset(cfg):
     """(reference: trainer.py:290-341)."""
     transform = VA.build_train_transform(cfg)
+    enable_prev = cfg.TRAIN_ENABLE_PREV_FRAME and "static" not in cfg.DATASETS
     datasets = []
     if "static" in cfg.DATASETS:
         datasets.append(StaticTrain(
@@ -389,14 +425,16 @@ def build_train_dataset(cfg):
             seq_len=cfg.DATA_SEQ_LEN, rand_gap=cfg.DATA_RANDOM_GAP_DAVIS,
             rand_reverse=cfg.DATA_RANDOM_REVERSE_SEQ,
             merge_prob=cfg.DATA_DYNAMIC_MERGE_PROB,
-            max_obj_n=cfg.MODEL_MAX_OBJ_NUM))
+            max_obj_n=cfg.MODEL_MAX_OBJ_NUM,
+            enable_prev_frame=enable_prev))
     if "youtubevos" in cfg.DATASETS:
         datasets.append(YOUTUBEVOS_Train(
             root=cfg.DIR_YTB, transform=transform, seq_len=cfg.DATA_SEQ_LEN,
             rand_gap=cfg.DATA_RANDOM_GAP_YTB,
             rand_reverse=cfg.DATA_RANDOM_REVERSE_SEQ,
             merge_prob=cfg.DATA_DYNAMIC_MERGE_PROB,
-            max_obj_n=cfg.MODEL_MAX_OBJ_NUM))
+            max_obj_n=cfg.MODEL_MAX_OBJ_NUM,
+            enable_prev_frame=enable_prev))
     if "test" in cfg.DATASETS:
         datasets.append(TEST(seq_len=cfg.DATA_SEQ_LEN,
                              transform=VA.build_train_transform(cfg)))

@@ -41,6 +41,7 @@ def build_train_engine(model, cfg) -> "TrainEngine":
         aux_ratio=cfg.TRAIN_AUX_LOSS_RATIO,
         top_k_percent=cfg.TRAIN_TOP_K_PERCENT_PIXELS,
         hard_mining_ratio=cfg.TRAIN_HARD_MINING_RATIO,
+        remat=cfg.get("TRAIN_REMAT", True),
     )
 
 
@@ -50,13 +51,14 @@ class TrainEngine(VOSEngine):
     def __init__(self, *args, total_steps: int = 100_000,
                  aux_weight: float = 1.0, aux_ratio: float = 1.0,
                  top_k_percent: float = 0.15, hard_mining_ratio: float = 0.5,
-                 **kw):
+                 remat: bool = True, **kw):
         super().__init__(*args, **kw)
         self.total_steps = total_steps
         self.aux_weight = aux_weight
         self.aux_step = total_steps * aux_ratio + 1e-5
         self.top_k_percent = top_k_percent
         self.hard_mining_step = hard_mining_ratio * total_steps + 1e-5
+        self.remat = remat
 
     # --- helpers ---------------------------------------------------------
     def _shuffled_one_hot(self, mask, shuffle_matrix):
@@ -105,6 +107,7 @@ class TrainEngine(VOSEngine):
         *,
         shuffle_matrix: Optional[jax.Array] = None,  # (B, M+1, M+1)
         use_prev_pred: bool = False,
+        enable_prev_frame: bool = False,
         rngs: Optional[Dict] = None,
     ) -> Tuple[jax.Array, Dict]:
         t, b, h, w, _ = frames.shape
@@ -128,14 +131,34 @@ class TrainEngine(VOSEngine):
         aux_loss, aux_pred = self._frame_loss(
             params, state, masks[0], obj_nums, shuffle_matrix, step,
             input_size, rngs)
+        aux_losses = [aux_loss]
 
-        # 3. propagate frames 1..T-1 with inter-frame memory writes.
+        first_prop = 1
+        if enable_prev_frame:
+            # frame 1 is GT-seeded like a second reference (reference
+            # set_prev_frame, aot_engine.py:253-289: appends LT memory,
+            # resets the ST ring, aux loss on it)
+            prev_feats = [x.reshape((t, b) + x.shape[1:])[1] for x in xs]
+            id_emb1 = self._id_emb(params, masks[1], shuffle_matrix,
+                                   freeze_id=freeze_id, rngs=rngs)
+            state = self.add_reference_frame(
+                params, None, masks[1], obj_nums, state=state,
+                img_embs=prev_feats, id_emb=id_emb1, frame_step=1,
+                deterministic=False, rngs=rngs)
+            prev_aux, _ = self._frame_loss(
+                params, state, masks[1], obj_nums, shuffle_matrix, step,
+                input_size, rngs)
+            aux_losses.append(prev_aux)
+            first_prop = 2
+
+        # 3. propagate the remaining frames with inter-frame memory writes.
         # lax.scan over the frame axis: one traced body instead of T-1
         # unrolled copies (the reference's Python loop, aot_engine.py:86-95).
         feat_stacked = tuple(
-            x.reshape((t, b) + x.shape[1:])[1:] for x in xs)  # (T-1, B, ...)
-        not_first = jnp.arange(1, t) > 1  # update memory before frames 2..
-        prev_gt = masks[0:t - 1]
+            x.reshape((t, b) + x.shape[1:])[first_prop:] for x in xs)
+        # no memory write before the first propagated frame
+        not_first = jnp.arange(first_prop, t) > first_prop
+        prev_gt = masks[first_prop - 1:t - 1]
 
         def body(carry, inp):
             st, prev_pred = carry
@@ -156,24 +179,30 @@ class TrainEngine(VOSEngine):
                 input_size, rngs)
             return (st, pred), (floss, pred)
 
+        # rematerialise per-frame propagation in the backward pass: without
+        # it the 4-frame unrolled activations overflow HBM at batch >= 8
+        # (trades ~1 extra forward for O(T) -> O(1) activation memory)
+        scan_body = jax.checkpoint(body) if self.remat else body
+
         init_pred = jnp.zeros((b,) + input_size, jnp.int32)
         (state, last_pred), (frame_losses, _) = jax.lax.scan(
-            body, (state, init_pred),
-            (feat_stacked, masks[1:], prev_gt, not_first))
+            scan_body, (state, init_pred),
+            (feat_stacked, masks[first_prop:], prev_gt, not_first))
 
         pred_loss = jnp.mean(frame_losses)
+        aux_mean = jnp.mean(jnp.stack([jnp.mean(a) for a in aux_losses]))
         aux_w = self.aux_weight * jnp.maximum(
             self.aux_step - step, 0.0) / self.aux_step
-        total = aux_w * jnp.mean(aux_loss) + pred_loss
+        total = aux_w * aux_mean + pred_loss
 
         iou = loss_ops.mean_iou(last_pred, masks[t - 1], obj_nums,
                                 self.max_obj_num)
         stats = {
             "loss": total,
-            "aux_loss": jnp.mean(aux_loss),
+            "aux_loss": aux_mean,
             "pred_loss": pred_loss,
             "frame_losses": jnp.concatenate(
-                [jnp.mean(aux_loss)[None], jnp.mean(frame_losses, axis=1)]),
+                [aux_mean[None], jnp.mean(frame_losses, axis=1)]),
             "iou": iou,
         }
         return total, stats

@@ -48,11 +48,15 @@ def make_train_step(cfg, engine: TrainEngine, enable_id_shuffle: bool = True):
     ema_decay = ema_lib.ema_decay_for(cfg)
     max_obj = cfg.MODEL_MAX_OBJ_NUM
 
+    enable_prev_frame = cfg.TRAIN_ENABLE_PREV_FRAME and \
+        "static" not in cfg.DATASETS  # (reference: trainer.py:296-298)
+
     def loss_fn(params, frames, masks, obj_nums, step, shuffle, rngs,
                 use_prev_pred):
         return engine.forward(
             params, frames, masks, obj_nums, step,
-            shuffle_matrix=shuffle, use_prev_pred=use_prev_pred, rngs=rngs)
+            shuffle_matrix=shuffle, use_prev_pred=use_prev_pred,
+            enable_prev_frame=enable_prev_frame, rngs=rngs)
 
     def train_step(state: TrainState, frames, masks, obj_nums, rng,
                    use_prev_pred: bool):

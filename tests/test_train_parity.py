@@ -1,0 +1,99 @@
+"""Training-forward loss parity against the reference AOTEngine.forward.
+
+Both sides run deterministically (droppath/dropout zeroed via config, torch
+model in eval mode), same converted weights, same 5-frame clip, GT-mask
+curriculum (use_prev_pred=False) -> the scalar losses must match.
+"""
+
+import os
+import sys
+from functools import partial
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "networks")),
+    reason="reference repo not mounted")
+
+torch = pytest.importorskip("torch")
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from tests.test_torch_parity import _fixed_v3_forward  # noqa: E402
+
+
+def test_training_loss_parity(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.chdir(tmp_path)
+
+    import networks.layers.attention as ref_att
+
+    ref_att.MultiheadLocalAttentionV3.forward = _fixed_v3_forward
+
+    from configs.default import DefaultEngineConfig
+
+    ref_cfg = DefaultEngineConfig("parity", "aott")
+    ref_cfg.TRAIN_LSTT_DROPPATH = 0.0
+
+    import networks.models as ref_models
+    from networks.engines import build_engine as ref_build_engine
+
+    ref_model = ref_models.build_vos_model(ref_cfg.MODEL_VOS, ref_cfg)
+    ref_engine = ref_build_engine(
+        ref_cfg.MODEL_ENGINE, "train", aot_model=ref_model, gpu_id=0,
+        long_term_mem_gap=ref_cfg.TRAIN_LONG_TERM_MEM_GAP)
+    ref_engine.eval()  # disables dropout; losses still computed
+
+    T, B, H, W = 5, 2, 65, 65
+    rng = np.random.RandomState(0)
+    frames = rng.rand(T, B, H, W, 3).astype(np.float32)
+    masks = np.zeros((T, B, H, W), np.int64)
+    for t in range(T):
+        o = 8 + 2 * t
+        masks[t, :, o:o + 20, o:o + 20] = 1
+        masks[t, :, 40:58, 35:60] = 2
+    obj_nums = [2, 2]
+    step = 100
+
+    # --- reference ---
+    tf = torch.from_numpy(
+        frames.reshape(T * B, H, W, 3).transpose(0, 3, 1, 2).copy())
+    tm = torch.from_numpy(masks.reshape(T * B, 1, H, W).copy())
+    with torch.no_grad():
+        ref_engine.restart_engine(batch_size=B, enable_id_shuffle=False)
+        ref_loss, _, ref_frame_losses, _ = ref_engine(
+            tf, tm.float(), B, obj_nums, step=step)
+    ref_loss = float(ref_loss.mean())
+
+    # --- mine ---
+    from aot_tpu.configs import build_config
+    from aot_tpu.engine.train import build_train_engine
+    from aot_tpu.models import build_vos_model
+    from aot_tpu.utils.torch_import import convert_state_dict
+
+    my_cfg = build_config(stage="ytb", model="aott",
+                          TRAIN_DTYPE="float32", TRAIN_LSTT_DROPPATH=0.0)
+    my_model = build_vos_model(my_cfg)
+    img0 = jnp.zeros((1, H, W, 3))
+    oh0 = jnp.zeros((1, H, W, 11)).at[..., 0].set(1.0)
+    variables = jax.jit(partial(my_model.init, deterministic=True))(
+        jax.random.PRNGKey(0), img0, oh0)
+    params, missing, _ = convert_state_dict(
+        ref_model.state_dict(), variables["params"], my_cfg)
+    assert not [m for m in missing if "running" not in m]
+
+    eng = build_train_engine(my_model, my_cfg)
+    fwd = jax.jit(lambda p, f, m, o: eng.forward(
+        p, f, m, o, float(step),
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "droppath": jax.random.PRNGKey(2)})[0])
+    my_loss = float(fwd(params, jnp.asarray(frames),
+                        jnp.asarray(masks.astype(np.int32)),
+                        jnp.asarray(obj_nums, jnp.int32)))
+
+    np.testing.assert_allclose(my_loss, ref_loss, rtol=5e-3, atol=5e-3)
