@@ -58,6 +58,13 @@ class VOSEngine:
                                 method=method, rngs=rngs, **kw)
 
     def encode_image(self, params, img):
+        if img.dtype == jnp.uint8:
+            # device-side normalisation: callers may feed raw uint8 frames
+            # (4x less host->device traffic on the per-frame hot path)
+            from aot_tpu.data import IMAGENET_MEAN, IMAGENET_STD
+
+            img = img.astype(jnp.float32) / 255.0
+            img = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         return self._apply(params, type(self.model).encode_image, img)
 
     def get_id_emb(self, params, one_hot, *, deterministic=True, rngs=None):

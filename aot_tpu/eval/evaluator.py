@@ -233,12 +233,23 @@ class Evaluator:
             frame_times.append(time.perf_counter() - t0)
 
             mask_np = np.asarray(jax.device_get(pred_label))[0]
-            out_path = os.path.join(
-                result_dir, os.path.splitext(meta["current_name"])[0] + ".png")
+            fname = os.path.splitext(meta["current_name"])[0] + ".png"
+            out_path = os.path.join(result_dir, fname)
             squeeze_idx = meta.get("obj_idx")
             pending_writes.append(
                 save_mask_async(mask_np.astype(np.uint8), out_path,
                                 list(squeeze_idx) if squeeze_idx else None))
+            # dense (all-frames) eval also exports the sparse 6fps subset
+            # for the submission server (reference: evaluator.py:457-477)
+            images_sparse = getattr(seq, "images_sparse", None)
+            if images_sparse and meta["current_name"] in images_sparse:
+                sparse_dir = (self.result_root or ".").rstrip("/") + "_sparse"
+                os.makedirs(os.path.join(sparse_dir, seq.seq_name),
+                            exist_ok=True)
+                pending_writes.append(save_mask_async(
+                    mask_np.astype(np.uint8),
+                    os.path.join(sparse_dir, seq.seq_name, fname),
+                    list(squeeze_idx) if squeeze_idx else None))
 
         for t in pending_writes:
             t.join()

@@ -70,9 +70,10 @@ def main():
 
     state = add(params, img0, jnp.asarray(mask))
 
-    # distinct host frames (simulating decoded video); measurement includes
-    # the per-frame host->device transfer, pipelined as the evaluator does
-    host_frames = [rng.rand(1, H, W, 3).astype(np.float32)
+    # distinct host frames (simulating decoded video, raw uint8 — the engine
+    # normalises on device); measurement includes the per-frame host->device
+    # transfer, pipelined as the evaluator does
+    host_frames = [(rng.rand(1, H, W, 3) * 255).astype(np.uint8)
                    for _ in range(n_frames)]
 
     # warmup / compile
