@@ -382,7 +382,7 @@ class TEST:
         return self.length
 
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
-        img = np.zeros((self.size, self.size, 3), np.float32)
+        img = np.zeros((self.size, self.size, 3), np.uint8)
         lab = np.ones((self.size, self.size), np.uint8)
         clip = dict(frames=[img] * self.seq_len,
                     labels=[lab] * self.seq_len,

@@ -127,21 +127,35 @@ class Trainer:
         t_last = time.time()
         data_iter = iter(loader)
 
+        def to_device(batch):
+            # async device_put: the next batch's transfer overlaps the
+            # current step's execution
+            return (
+                shard_batch(self.mesh, jnp.asarray(batch["frames"]),
+                            batch_axis=1, axis=cfg.MESH_DP_AXIS),
+                shard_batch(self.mesh, jnp.asarray(batch["labels"]),
+                            batch_axis=1, axis=cfg.MESH_DP_AXIS),
+                shard_batch(self.mesh, jnp.asarray(batch["obj_nums"]),
+                            batch_axis=0, axis=cfg.MESH_DP_AXIS),
+            )
+
+        debug_timing = bool(os.environ.get("AOT_TPU_DEBUG_TIMING"))
+        next_dev = to_device(next(data_iter))
         while step < total:
-            batch = next(data_iter)
+            t0 = time.perf_counter()
+            frames, labels, obj_nums = next_dev
             use_prev_pred = step >= seq_start
             rng, sub = jax.random.split(rng)
 
-            frames = shard_batch(self.mesh, jnp.asarray(batch["frames"]),
-                                 batch_axis=1, axis=cfg.MESH_DP_AXIS)
-            labels = shard_batch(self.mesh, jnp.asarray(batch["labels"]),
-                                 batch_axis=1, axis=cfg.MESH_DP_AXIS)
-            obj_nums = shard_batch(self.mesh, jnp.asarray(batch["obj_nums"]),
-                                   batch_axis=0, axis=cfg.MESH_DP_AXIS)
-
             self.state, stats = self.train_step(
                 self.state, frames, labels, obj_nums, sub, use_prev_pred)
+            t1 = time.perf_counter()
+            next_dev = to_device(next(data_iter))  # overlap with the step
             step += 1
+            if debug_timing:
+                self.print_log(
+                    f"  [timing] dispatch {t1 - t0:.3f}s "
+                    f"load+put {time.perf_counter() - t1:.3f}s")
 
             if step % cfg.TRAIN_LOG_STEP == 0 or step == total:
                 s = jax.device_get(stats)

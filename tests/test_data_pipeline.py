@@ -89,6 +89,7 @@ def test_synthetic_TEST_and_loader():
     ds = TEST(seq_len=5, transform=build_train_transform(cfg))
     sample = ds[0]
     assert sample["frames"].shape == (5, 465, 465, 3)
+    assert sample["frames"].dtype == np.uint8  # raw; normalised on device
     assert sample["labels"].shape == (5, 465, 465)
     assert int(sample["obj_num"]) == 3
 
