@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter

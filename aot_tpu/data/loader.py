@@ -11,9 +11,7 @@ global batch), mirroring DistributedSampler semantics.
 from __future__ import annotations
 
 import multiprocessing as mp
-import queue
-import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Differences from the reference, by design (see ARCHITECTURE.md):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

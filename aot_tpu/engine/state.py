@@ -17,7 +17,7 @@ fixed per model so jit sees a stable pytree.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

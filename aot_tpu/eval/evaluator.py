@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -29,7 +28,6 @@ import numpy as np
 from aot_tpu.data.eval_datasets import build_eval_dataset
 from aot_tpu.data.video_aug import multi_restrict_size
 from aot_tpu.engine import build_infer_engine
-from aot_tpu.engine.infer import soft_aggregate_logits
 from aot_tpu.ops.image import interpolate_bilinear, interpolate_nearest
 from aot_tpu.utils.eval_pack import zip_folder
 from aot_tpu.utils.image import save_mask_async

@@ -13,8 +13,7 @@ The model is a pure function library: the engine drives it through
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

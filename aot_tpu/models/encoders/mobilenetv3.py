@@ -7,7 +7,7 @@ split features[0:4]/[4:7]/[7:13]/[13:] + final 1x1 conv.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

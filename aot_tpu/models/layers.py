@@ -10,7 +10,7 @@ Token sequences are (B, HW, C); size_2d=(H, W) recovers the 2-D grid.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

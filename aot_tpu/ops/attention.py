@@ -22,7 +22,7 @@ Layouts: sequences are (B, L, C); images are NHWC.
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax

@@ -8,8 +8,7 @@ allreduce, trainer.py:69-74).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

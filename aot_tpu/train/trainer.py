@@ -24,8 +24,8 @@ from aot_tpu.engine.train import build_train_engine
 from aot_tpu.models import build_vos_model
 from aot_tpu.parallel import make_mesh, replicate, shard_batch
 from aot_tpu.train import ema as ema_lib
-from aot_tpu.train.step import (TrainState, create_train_state,
-                                make_train_step, shard_train_step)
+from aot_tpu.train.step import (create_train_state, make_train_step,
+                                shard_train_step)
 from aot_tpu.utils import checkpoint as ckpt_lib
 from aot_tpu.utils.meters import AverageMeter
 from aot_tpu.utils.runtime import setup_runtime
