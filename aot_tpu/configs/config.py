@@ -114,11 +114,14 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # reference grows its memory unboundedly (aot_engine.py:291-305); static
     # shapes require a cap. Training needs ceil(SEQ_LEN / gap) + 1 at most.
     TRAIN_LONG_TERM_MEM_CAP=4,
-    TEST_LONG_TERM_MEM_CAP=32,
-    # When the ring is full: 'stop' (freeze memory, matches reference configs
-    # that only ever store the ref frame) or 'fifo' (overwrite oldest slot,
-    # keeping slot 0 = reference frame pinned).
-    TEST_LONG_TERM_MEM_POLICY="fifo",
+    # At test time the cap is the INITIAL bucket only (policy 'grow').
+    TEST_LONG_TERM_MEM_CAP=4,
+    # When the ring is full: 'grow' (double the bucket just in time — exact
+    # reference semantics of unbounded memory, aot_engine.py:291-305, at
+    # O(log T) retraces), 'stop' (freeze memory), or 'fifo' (overwrite the
+    # oldest slot, keeping slot 0 = reference frame pinned — bounds memory
+    # AND compute for arbitrarily long videos, beyond the reference).
+    TEST_LONG_TERM_MEM_POLICY="grow",
     # Compute dtypes. Params/optimizer always fp32.
     TRAIN_DTYPE="bfloat16",
     TEST_DTYPE="float32",

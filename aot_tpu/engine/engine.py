@@ -109,8 +109,35 @@ class VOSEngine:
             obj_nums=jnp.asarray(obj_nums, jnp.int32).reshape(-1),
         )
 
+    @staticmethod
+    def lt_cap_of(state: S.EngineState, hw: int) -> int:
+        """Current LT capacity in frames, derived from buffer shape (static
+        under jit). Under the 'grow' policy this changes per bucket."""
+        first = next(iter(state.lt[0].values()))
+        return first.shape[1] // hw
+
+    def grow_lt(self, state: S.EngineState, hw: int,
+                new_cap: int) -> S.EngineState:
+        """Re-bucket the LT ring to `new_cap` frames (zero-pad the token
+        axis). Valid because slots are written sequentially until full, so
+        no wrap has occurred when the caller grows. Gives the reference's
+        unbounded memory (aot_engine.py:291-305) with O(log T) retraces."""
+        old_cap = self.lt_cap_of(state, hw)
+        if new_cap <= old_cap:
+            return state
+        pad = (new_cap - old_cap) * hw
+
+        def grow(buf):
+            widths = [(0, 0)] * buf.ndim
+            widths[1] = (0, pad)
+            return jnp.pad(buf, widths)
+
+        return state.replace(
+            lt=tuple({k: grow(v) for k, v in layer.items()}
+                     for layer in state.lt))
+
     def _lt_views(self, state: S.EngineState, hw: int):
-        valid = S.lt_valid_len(state, self.lt_cap, hw)
+        valid = S.lt_valid_len(state, self.lt_cap_of(state, hw), hw)
         return list(state.lt), valid
 
     def _st_views(self, state: S.EngineState):
@@ -262,7 +289,8 @@ class VOSEngine:
         return fused_layers
 
     def _write_lt(self, state: S.EngineState, fused, hw: int):
-        slots = S.lt_write_slot(state.lt_count, self.lt_cap, self.lt_policy)
+        slots = S.lt_write_slot(state.lt_count, self.lt_cap_of(state, hw),
+                                self.lt_policy)
         offsets = slots * hw  # (B,) — per-sample write position
 
         def write_one(buf, val, off):
@@ -309,19 +337,22 @@ class VOSEngine:
                     buf, layer_f[key].astype(buf.dtype), ptr, axis=0)
             new_st.append(out)
 
-        # long-term conditional append
-        do_lt = (state.frame_step - state.last_mem_step) >= self.lt_gap
+        # long-term conditional append. The gap clock (last_mem_step)
+        # advances whenever the gap is reached, even when the write itself
+        # is skipped — matching the reference (aot_engine.py:334-338).
+        gap_hit = (state.frame_step - state.last_mem_step) >= self.lt_gap
+        do_lt = gap_hit
         if skip_long_term_update:
             do_lt = jnp.zeros((), bool)
         if self.lt_policy == "stop":
-            do_lt = jnp.logical_and(do_lt,
-                                    jnp.min(state.lt_count) < self.lt_cap)
+            do_lt = jnp.logical_and(
+                do_lt,
+                jnp.min(state.lt_count) < self.lt_cap_of(state, hw))
 
         def write(st_):
             return st_.replace(
                 lt=self._write_lt(st_, fused, hw),
                 lt_count=st_.lt_count + 1,
-                last_mem_step=st_.frame_step,
             )
 
         state = state.replace(
@@ -329,4 +360,6 @@ class VOSEngine:
             st_ptr=ptr,
             st_count=jnp.minimum(state.st_count + 1, self.st_skip),
         )
-        return jax.lax.cond(do_lt, write, lambda s: s, state)
+        state = jax.lax.cond(do_lt, write, lambda s: s, state)
+        return state.replace(last_mem_step=jnp.where(
+            gap_hit, state.frame_step, state.last_mem_step))

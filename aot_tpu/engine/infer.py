@@ -117,6 +117,37 @@ def build_infer_engine(model, cfg, aggregation: str = "soft") -> "VOSInferEngine
     return VOSInferEngine(eng, aggregation=aggregation)
 
 
+class LTShadow:
+    """Host-side mirror of the long-term-memory write schedule.
+
+    Every LT write is decided by host-visible control flow (frame index,
+    add_reference events, the gap test — aot_engine.py:334-338), so the
+    evaluator can know the post-write LT frame count WITHOUT a device sync
+    and grow the ring buffer just in time ('grow' policy)."""
+
+    def __init__(self, lt_gap: int):
+        self.gap = lt_gap
+        self.count = 0
+        self.last = -(1 << 30)
+
+    def add_ref(self, frame_step: int) -> int:
+        self.count += 1
+        self.last = frame_step
+        return self.count
+
+    def will_write(self, frame_step: int) -> bool:
+        return frame_step - self.last >= self.gap
+
+    def update(self, frame_step: int, skip_long_term: bool = False) -> int:
+        """Mirror of VOSEngine.update_memory's gap clock. Returns the LT
+        count after the call."""
+        if self.will_write(frame_step):
+            if not skip_long_term:
+                self.count += 1
+            self.last = frame_step
+        return self.count
+
+
 class VOSInferEngine:
     """Online inference engine for one video (any number of objects)."""
 
@@ -124,6 +155,30 @@ class VOSInferEngine:
         self.engine = engine
         self.max_obj_num = engine.max_obj_num
         self.aggregation = aggregation
+        self._grow_fn = jax.jit(engine.grow_lt,
+                                static_argnames=("hw", "new_cap"))
+
+    def make_shadow(self) -> LTShadow:
+        return LTShadow(self.engine.lt_gap)
+
+    def lt_cap(self, state: S.EngineState) -> int:
+        hw = state.embs[0].shape[1]
+        return self.engine.lt_cap_of(state, hw)
+
+    def ensure_lt_capacity(self, state: S.EngineState,
+                           needed: int) -> S.EngineState:
+        """Grow the LT ring (next power-of-two bucket) so `needed` frames
+        fit. No-op unless the engine runs the 'grow' policy. Retraces
+        downstream jits once per bucket — O(log T) compiles per video
+        shape, amortised by the persistent compile cache."""
+        if self.engine.lt_policy != "grow":
+            return state
+        cap = self.lt_cap(state)
+        if needed <= cap:
+            return state
+        new_cap = max(cap * 2, 1 << (needed - 1).bit_length())
+        hw = state.embs[0].shape[1]
+        return self._grow_fn(state, hw=hw, new_cap=new_cap)
 
     # group bookkeeping is host-side (python ints)
     def num_groups(self, obj_num: int) -> int:

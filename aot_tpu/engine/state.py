@@ -52,8 +52,11 @@ def lt_valid_len(state: EngineState, cap: int, hw: int) -> jax.Array:
 
 
 def lt_write_slot(count: jax.Array, cap: int, policy: str) -> jax.Array:
-    """Frame slot for the next LT write. 'fifo' pins slot 0 (the reference
-    frame) and cycles slots 1..CAP-1; 'stop' freezes when full."""
+    """Frame slot for the next LT write. 'grow' writes sequentially (the
+    caller re-buckets capacity before it would overflow, giving the
+    reference's unbounded-concat semantics, aot_engine.py:291-305); 'fifo'
+    pins slot 0 (the reference frame) and cycles slots 1..CAP-1; 'stop'
+    freezes when full."""
     if cap == 1:
         return jnp.zeros_like(count)
     if policy == "fifo":

@@ -204,5 +204,9 @@ class TrainEngine(VOSEngine):
             "frame_losses": jnp.concatenate(
                 [aux_mean[None], jnp.mean(frame_losses, axis=1)]),
             "iou": iou,
+            # final-frame prediction, for TRAIN_IMG_LOG dumps (reference
+            # logs pred-vs-GT images, trainer.py:599-686); stays on device
+            # unless the trainer fetches it at a log step
+            "last_pred": last_pred,
         }
         return total, stats

@@ -150,6 +150,10 @@ class Evaluator:
         add_ref = self._fn("add_ref", builder=self._make_add_ref)
         re_ref = self._fn("re_ref", builder=self._make_re_ref)
         update = self._fn("update", builder=self._make_update)
+        # host mirror of the LT write schedule: grows the ring just in time,
+        # giving the reference's unbounded memory (aot_engine.py:291-305)
+        # without per-frame device syncs
+        shadow = self.engine.make_shadow()
 
         for frame_idx in range(len(seq)):
             sample = seq[frame_idx]
@@ -174,6 +178,7 @@ class Evaluator:
                     vlab = jnp.flip(lab, axis=2) if v["flip"] else lab
                     states[vi] = add_ref(params, img, vlab, obj_num,
                                          tuple(input_sizes[vi]))
+                shadow.add_ref(0)
                 continue
 
             t0 = time.perf_counter()
@@ -202,35 +207,57 @@ class Evaluator:
                 per_variant_labels = [jnp.where(keep, l, gt)
                                       for l in per_variant_labels]
                 obj_num = int(jax.device_get(jnp.max(pred_label)))
+                needed = shadow.count + 1
                 for vi in range(len(variants)):
                     lab_v = per_variant_labels[min(vi, len(per_variant_labels) - 1)]
                     if flips[vi]:
                         lab_v = jnp.flip(lab_v, axis=2)
-                    states[vi] = re_ref(params, states[vi],
-                                        jnp.asarray(variants[vi]["image"][None]),
-                                        lab_v, obj_num,
-                                        tuple(input_sizes[vi]), frame_idx)
+                    st = self.engine.ensure_lt_capacity(states[vi], needed)
+                    st = re_ref(params, st,
+                                jnp.asarray(variants[vi]["image"][None]),
+                                lab_v, obj_num,
+                                tuple(input_sizes[vi]), frame_idx)
+                    # the reference also refreshes short-term memory with the
+                    # merged label right after re-referencing
+                    # (evaluator.py:397-399)
+                    states[vi] = update(params, st, lab_v,
+                                        tuple(input_sizes[vi]))
+                shadow.add_ref(frame_idx)
+                shadow.update(frame_idx)
             elif self.cfg.MODEL_USE_PREV_PROB:
                 upd_prob = self._fn("update_prob",
                                     builder=self._make_update_prob)
+                needed = shadow.count + 1
                 for vi in range(len(variants)):
                     p = probs[min(vi, len(probs) - 1)]
                     if flips[vi]:
                         p = jnp.flip(p, axis=2)
+                    if shadow.will_write(frame_idx):
+                        states[vi] = self.engine.ensure_lt_capacity(
+                            states[vi], needed)
                     states[vi] = upd_prob(params, states[vi], p,
                                           tuple(input_sizes[vi]))
+                shadow.update(frame_idx)
             else:
+                needed = shadow.count + 1
                 for vi in range(len(variants)):
                     lab_v = per_variant_labels[min(vi, len(per_variant_labels) - 1)]
                     if flips[vi]:
                         lab_v = jnp.flip(lab_v, axis=2)
+                    if shadow.will_write(frame_idx):
+                        states[vi] = self.engine.ensure_lt_capacity(
+                            states[vi], needed)
                     states[vi] = update(params, states[vi], lab_v,
                                         tuple(input_sizes[vi]))
+                shadow.update(frame_idx)
 
-            pred_label.block_until_ready()
+            # fetch as uint8: the axon tunnel's int32 downlink is ~100x
+            # slower than uint8 for large arrays (mask ids always < 256)
+            pred_u8 = pred_label.astype(jnp.uint8)
+            pred_u8.block_until_ready()
             frame_times.append(time.perf_counter() - t0)
 
-            mask_np = np.asarray(jax.device_get(pred_label))[0]
+            mask_np = np.asarray(jax.device_get(pred_u8))[0]
             fname = os.path.splitext(meta["current_name"])[0] + ".png"
             out_path = os.path.join(result_dir, fname)
             squeeze_idx = meta.get("obj_idx")

@@ -37,41 +37,47 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (block_q, d)
-    k = k_ref[0]  # (block_k, d)
-    v = v_ref[0]  # (block_k, dv)
-
-    # Mosaic supports DEFAULT/HIGHEST only (the session-level 'high' default
-    # for fp32 matmuls is an XLA notion). HIGHEST on bf16 operands is
-    # rejected ("Bad lhs type") — bf16 runs MXU-native with DEFAULT.
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec) * scale  # (block_q, block_k)
-
     valid = valid_ref[b]
-    key_idx = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (q.shape[0], k.shape[0]), 1)
-    s = jnp.where(key_idx < valid, s, NEG_INF)
 
-    m_prev = m_ref[:]          # (block_q, 1)
-    l_prev = l_ref[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)     # (block_q, block_k)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    # skip k-blocks that are entirely beyond the live ring-buffer prefix —
+    # they contribute nothing to the online softmax (all keys masked)
+    @pl.when(ki * block_k < valid)
+    def _attend():
+        q = q_ref[0]  # (block_q, d)
+        k = k_ref[0]  # (block_k, d)
+        v = v_ref[0]  # (block_k, dv)
 
-    acc = acc_ref[:] * alpha
-    acc = acc + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec)
-    m_ref[:] = m_new
-    l_ref[:] = l_new
-    acc_ref[:] = acc
+        # Mosaic supports DEFAULT/HIGHEST only (the session-level 'high'
+        # default for fp32 matmuls is an XLA notion). HIGHEST on bf16
+        # operands is rejected ("Bad lhs type") — bf16 runs MXU-native with
+        # DEFAULT.
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale  # (block_q, block_k)
+
+        key_idx = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[0], k.shape[0]), 1)
+        s = jnp.where(key_idx < valid, s, NEG_INF)
+
+        m_prev = m_ref[:]          # (block_q, 1)
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)     # (block_q, block_k)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        acc = acc_ref[:] * alpha
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+        acc_ref[:] = acc
 
     @pl.when(ki == nk - 1)
     def _finish():

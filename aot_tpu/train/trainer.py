@@ -140,18 +140,33 @@ class Trainer:
             )
 
         debug_timing = bool(os.environ.get("AOT_TPU_DEBUG_TIMING"))
-        next_dev = to_device(next(data_iter))
+        host_batch = next(data_iter)
+        next_dev = to_device(host_batch)
         while step < total:
             t0 = time.perf_counter()
             frames, labels, obj_nums = next_dev
+            cur_host = host_batch
             use_prev_pred = step >= seq_start
             rng, sub = jax.random.split(rng)
 
             self.state, stats = self.train_step(
                 self.state, frames, labels, obj_nums, sub, use_prev_pred)
             t1 = time.perf_counter()
-            next_dev = to_device(next(data_iter))  # overlap with the step
+            host_batch = next(data_iter)
+            next_dev = to_device(host_batch)  # overlap with the step
             step += 1
+
+            if cfg.TRAIN_IMG_LOG and step % cfg.TRAIN_TBLOG_STEP == 0:
+                # (image | GT | pred) strip for sample 0's final frame
+                # (reference: trainer.py:599-686)
+                from aot_tpu.utils.logging import save_pred_image_log
+
+                pred = np.asarray(
+                    jax.device_get(stats["last_pred"]))[0]
+                save_pred_image_log(
+                    cfg.DIR_IMG_LOG, step,
+                    np.asarray(cur_host["frames"][-1][0]),
+                    np.asarray(cur_host["labels"][-1][0]), pred)
             if debug_timing:
                 self.print_log(
                     f"  [timing] dispatch {t1 - t0:.3f}s "

@@ -54,7 +54,10 @@ def save_pred_image_log(log_dir: str, step: int, frame: np.ndarray,
     from aot_tpu.utils.image import label2colormap, masked_image
 
     os.makedirs(log_dir, exist_ok=True)
-    img = frame * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+    if frame.dtype == np.uint8:  # raw-uint8 training pipeline
+        img = frame.astype(np.float32) / 255.0
+    else:
+        img = frame * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
     img = np.clip(img, 0, 1)
     panels = [img]
     for mask in (gt, pred):

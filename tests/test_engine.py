@@ -25,7 +25,7 @@ def setup(request):
     cfg = build_config(
         stage="pre", model=request.param,
         TEST_LONG_TERM_MEM_CAP=3, TEST_LONG_TERM_MEM_GAP=1,
-        TEST_SHORT_TERM_MEM_SKIP=1)
+        TEST_SHORT_TERM_MEM_SKIP=1, TEST_LONG_TERM_MEM_POLICY="fifo")
     model = build_vos_model(cfg, eval_mode=True)
     img = jnp.zeros((1, H, W, 3))
     oh = jnp.zeros((1, H, W, 11)).at[..., 0].set(1.0)
