@@ -69,9 +69,11 @@ class TrainEngine(VOSEngine):
             oh = jnp.einsum("bhwo,bot->bhwt", oh, shuffle_matrix)
         return oh
 
-    def _id_emb(self, params, mask, shuffle_matrix, freeze_id, rngs):
+    def _id_emb(self, params, mask, shuffle_matrix, freeze_id, rngs,
+                deterministic=False):
         oh = self._shuffled_one_hot(mask, shuffle_matrix)
-        emb = self.get_id_emb(params, oh, deterministic=False, rngs=rngs)
+        emb = self.get_id_emb(params, oh, deterministic=deterministic,
+                              rngs=rngs)
         if freeze_id:
             emb = jax.lax.stop_gradient(emb)
         return emb
@@ -109,7 +111,11 @@ class TrainEngine(VOSEngine):
         use_prev_pred: bool = False,
         enable_prev_frame: bool = False,
         rngs: Optional[Dict] = None,
+        deterministic: bool = False,
     ) -> Tuple[jax.Array, Dict]:
+        # deterministic=True mirrors the reference engine under .eval()
+        # (dropout/droppath off, losses still computed) — used by the
+        # cross-framework parity tests; training runs use the default.
         t, b, h, w, _ = frames.shape
         step = jnp.asarray(step, jnp.float32)
         freeze_id = use_prev_pred
@@ -124,10 +130,11 @@ class TrainEngine(VOSEngine):
         # freeze_id applies to the reference frame too (reference sets
         # self.freeze_id before add_reference_frame, aot_engine.py:46,52)
         id_emb0 = self._id_emb(params, masks[0], shuffle_matrix,
-                               freeze_id=freeze_id, rngs=rngs)
+                               freeze_id=freeze_id, rngs=rngs,
+                               deterministic=deterministic)
         state = self.add_reference_frame(
             params, None, masks[0], obj_nums, img_embs=ref_feats,
-            id_emb=id_emb0, deterministic=False, rngs=rngs)
+            id_emb=id_emb0, deterministic=deterministic, rngs=rngs)
         aux_loss, aux_pred = self._frame_loss(
             params, state, masks[0], obj_nums, shuffle_matrix, step,
             input_size, rngs)
@@ -140,11 +147,12 @@ class TrainEngine(VOSEngine):
             # resets the ST ring, aux loss on it)
             prev_feats = [x.reshape((t, b) + x.shape[1:])[1] for x in xs]
             id_emb1 = self._id_emb(params, masks[1], shuffle_matrix,
-                                   freeze_id=freeze_id, rngs=rngs)
+                                   freeze_id=freeze_id, rngs=rngs,
+                                   deterministic=deterministic)
             state = self.add_reference_frame(
                 params, None, masks[1], obj_nums, state=state,
                 img_embs=prev_feats, id_emb=id_emb1, frame_step=1,
-                deterministic=False, rngs=rngs)
+                deterministic=deterministic, rngs=rngs)
             prev_aux, _ = self._frame_loss(
                 params, state, masks[1], obj_nums, shuffle_matrix, step,
                 input_size, rngs)
@@ -167,13 +175,14 @@ class TrainEngine(VOSEngine):
             def update(s):
                 mem_mask = prev_pred if use_prev_pred else prev_gt_mask
                 id_emb = self._id_emb(params, mem_mask, shuffle_matrix,
-                                      freeze_id=freeze_id, rngs=rngs)
+                                      freeze_id=freeze_id, rngs=rngs,
+                                      deterministic=deterministic)
                 return self.update_memory(params, s, id_emb=id_emb,
-                                          deterministic=False, rngs=rngs)
+                                          deterministic=deterministic, rngs=rngs)
 
             st = jax.lax.cond(do_update, update, lambda s: s, st)
             st = self.propagate(params, st, None, img_embs=list(feats),
-                                deterministic=False, rngs=rngs)
+                                deterministic=deterministic, rngs=rngs)
             floss, pred = self._frame_loss(
                 params, st, gt_mask, obj_nums, shuffle_matrix, step,
                 input_size, rngs)

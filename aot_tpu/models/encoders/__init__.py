@@ -27,7 +27,7 @@ def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = -1,
         from aot_tpu.models.encoders.mobilenetv3 import MobileNetV3Large
 
         return MobileNetV3Large(frozen_bn=frozen_bn, dtype=dtype)
-    if name in ("resnest50", "resnest101"):
+    if name.startswith("resnest"):
         from aot_tpu.models.encoders.resnest import ResNeSt
 
         return ResNeSt.named(name, frozen_bn=frozen_bn, dtype=dtype)
@@ -44,7 +44,7 @@ def frozen_param_patterns(name: str, freeze_at: int):
         pats = [["encoder/features_0"]]
         stage_feats = [range(0, 4), range(4, 7), range(7, 14), range(14, 19)]
         pats += [[f"encoder/features_{i}" for i in rng] for rng in stage_feats]
-    elif name in ("resnet50", "resnet101", "resnest50", "resnest101"):
+    elif name.startswith(("resnet", "resnest")):
         pats = [["encoder/conv1", "encoder/bn1"]]
         pats += [[f"encoder/layer{i}"] for i in range(1, 5)]
     elif "swin" in name:

@@ -113,6 +113,12 @@ class ResNeSt(nn.Module):
         if name == "resnest101":
             return cls(layers=(3, 4, 23), stem_width=64, frozen_bn=frozen_bn,
                        dtype=dtype)
+        if name == "resnest200":  # reference: resnest.py:71-89
+            return cls(layers=(3, 24, 36), stem_width=64,
+                       frozen_bn=frozen_bn, dtype=dtype)
+        if name == "resnest269":  # reference: resnest.py:91-109
+            return cls(layers=(3, 30, 48), stem_width=64,
+                       frozen_bn=frozen_bn, dtype=dtype)
         raise NotImplementedError(name)
 
     @nn.compact

@@ -80,19 +80,30 @@ def set_attn_impl(impl: str) -> None:
     _ATTN_IMPL = impl
 
 
-def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio) -> bool:
+def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio,
+               dtype=None) -> bool:
+    """v5e measurements at Lq=900, h=8, d_att=32 (tools/bench_flash.py,
+    chained-jit timing):
+
+      fp32  Lk=900: XLA 0.66ms / flash 0.68 · Lk=7.2k: 1.46/1.63 ·
+            Lk=28.8k: 5.60/4.74 (valid 60%: 5.62/3.29 — the kernel skips
+            dead k-blocks, XLA cannot)
+      bf16  Lk=28.8k: XLA 5.29ms / flash 1.39 (3.8x)
+
+    XLA wins small memories (fused dense softmax); the flash kernel wins
+    once the score tensor dominates HBM traffic. 'grow'-policy rings run
+    50-100% valid, which shifts the fp32 crossover to ~8k tokens."""
     if _ATTN_IMPL in ("xla", "reference"):
         return False
     if top_k > 0 or max_mem_len_ratio > 0 or valid_len is None:
         return False
     if _ATTN_IMPL == "pallas":
         return True
-    # 'auto' currently keeps XLA: measured on v5e at the AOTL eval shape
-    # (Lq=900, Lk=28800, h=8, d=32 fp32) the flash kernel runs 6.9ms vs
-    # XLA 4.7ms — d_att=32 wastes 3/4 of the MXU/lanes in the kernel while
-    # XLA's fused dense path is already bandwidth-efficient. Revisit with a
-    # heads->lanes packed layout.
-    return False
+    if jax.default_backend() != "tpu":
+        return False  # jnp path is the oracle everywhere else
+    if dtype == jnp.bfloat16:
+        return lk >= 4096
+    return lk >= 8192
 
 
 def global_attention(
@@ -114,7 +125,8 @@ def global_attention(
     Returns (B, Lq, Cv) in v.dtype.
     """
     b, lq, cq = q.shape
-    if _use_flash(k.shape[1], valid_len, top_k, max_mem_len_ratio):
+    if _use_flash(k.shape[1], valid_len, top_k, max_mem_len_ratio,
+                  dtype=k.dtype):
         from aot_tpu.ops.pallas.flash_mem_attn import flash_memory_attention
 
         vl = jnp.asarray(valid_len)

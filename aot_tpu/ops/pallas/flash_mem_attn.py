@@ -97,7 +97,7 @@ def flash_memory_attention(
     num_heads: int,
     d_att: Optional[int] = None,
     *,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:

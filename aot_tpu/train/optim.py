@@ -73,17 +73,28 @@ def build_param_groups(cfg, params) -> Dict[str, Any]:
     exclusive = dict(cfg.TRAIN_WEIGHT_DECAY_EXCLUSIVE)
     seq_freeze_keys = list(cfg.TRAIN_SEQ_TRAINING_FREEZE_PARAMS)
 
+    # structural FrozenBN detection: a module IS a FrozenBatchNorm iff it
+    # carries running statistics as params (encoders/common.py:33-34) — no
+    # reliance on layer naming conventions
+    bn_modules = set()
+
+    def _collect_bn(path, _leaf):
+        p = _path_str(path)
+        if p.endswith("/running_mean"):
+            bn_modules.add(p[: -len("/running_mean")])
+
+    jax.tree_util.tree_map_with_path(_collect_bn, params)
+
     def leaf_meta(path, leaf):
         p = _path_str(path)
+        module = p.rsplit("/", 1)[0] if "/" in p else ""
         frozen = (
             any(p.startswith(fp) for fp in frozen_prefixes)
             # FrozenBN statistics/affine are buffers in the reference —
             # never optimized (normalization.py:13-17)
             or "running_mean" in p or "running_var" in p
         )
-        # FrozenBN weight/bias live in modules named bn*/..._bn
-        if cfg.MODEL_FREEZE_BN and p.startswith("encoder") and (
-                "/bn" in p or "_bn/" in p):
+        if cfg.MODEL_FREEZE_BN and module in bn_modules:
             frozen = True
         wd = cfg.TRAIN_WEIGHT_DECAY
         for k, v in exclusive.items():

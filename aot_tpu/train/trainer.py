@@ -45,6 +45,16 @@ class Trainer:
         self.print_log(f"devices: {self.n_devices}, "
                        f"global batch: {cfg.TRAIN_BATCH_SIZE}")
 
+        if not cfg.MODEL_FREEZE_BN:
+            # no reference config trains with live BN (MODEL_FREEZE_BN=True
+            # throughout); the trainable-BN path would need batch_stats
+            # threading + cross-replica mean/var (SyncBN) through the train
+            # step, which is not wired — fail loudly instead of training
+            # with stale init statistics
+            raise NotImplementedError(
+                "MODEL_FREEZE_BN=False training is not supported: "
+                "batch_stats/SyncBN are not threaded through the train "
+                "step. All reference configs freeze BN.")
         self.model = build_vos_model(cfg)
         self.engine = build_train_engine(self.model, cfg)
         self._init_params()

@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # verify math against fp64/numpy oracles, so force exact fp32 here.
 import jax
 
+# sitecustomize (axon) imports jax at interpreter startup with
+# JAX_PLATFORMS=axon pinned — the env vars above are too late. Force the
+# backend choice at the config level, which wins over the startup pin.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # CPU op-compiles in this image are slow (~seconds each); persist them.

@@ -27,14 +27,20 @@ if REF not in sys.path:
 
 from tests.test_torch_parity import _fixed_v3_forward  # noqa: E402
 
-T, B, H, W = 5, 2, 65, 65
+T, B = 5, 2
 STEP = 100
 
 
-def _clip():
+def _size(model_name):
+    # align_corners models run on 16k+1 grids, others on 16k (matches
+    # tests/test_torch_parity.py sizing)
+    return 65 if not model_name.startswith("deaot") else 64
+
+
+def _clip(h, w):
     rng = np.random.RandomState(0)
-    frames = rng.rand(T, B, H, W, 3).astype(np.float32)
-    masks = np.zeros((T, B, H, W), np.int64)
+    frames = rng.rand(T, B, h, w, 3).astype(np.float32)
+    masks = np.zeros((T, B, h, w), np.int64)
     for t in range(T):
         o = 8 + 2 * t
         masks[t, :, o:o + 20, o:o + 20] = 1
@@ -43,6 +49,7 @@ def _clip():
 
 
 def _run_reference(model_name, enable_prev_frame):
+    h = w = _size(model_name)
     import networks.layers.attention as ref_att
 
     ref_att.MultiheadLocalAttentionV3.forward = _fixed_v3_forward
@@ -61,10 +68,10 @@ def _run_reference(model_name, enable_prev_frame):
         long_term_mem_gap=ref_cfg.TRAIN_LONG_TERM_MEM_GAP)
     ref_engine.eval()  # disables dropout; losses still computed
 
-    frames, masks, obj_nums = _clip()
+    frames, masks, obj_nums = _clip(h, w)
     tf = torch.from_numpy(
-        frames.reshape(T * B, H, W, 3).transpose(0, 3, 1, 2).copy())
-    tm = torch.from_numpy(masks.reshape(T * B, 1, H, W).copy())
+        frames.reshape(T * B, h, w, 3).transpose(0, 3, 1, 2).copy())
+    tm = torch.from_numpy(masks.reshape(T * B, 1, h, w).copy())
     with torch.no_grad():
         ref_engine.restart_engine(batch_size=B, enable_id_shuffle=False)
         ref_loss, _, ref_frame_losses, _ = ref_engine(
@@ -85,19 +92,24 @@ def _run_mine(model_name, ref_model, enable_prev_frame):
 
     my_cfg = build_config(stage="ytb", model=model_name,
                           TRAIN_DTYPE="float32", TRAIN_LSTT_DROPPATH=0.0)
+    h = w = _size(model_name)
     my_model = build_vos_model(my_cfg)
-    img0 = jnp.zeros((1, H, W, 3))
-    oh0 = jnp.zeros((1, H, W, 11)).at[..., 0].set(1.0)
+    img0 = jnp.zeros((1, h, w, 3))
+    oh0 = jnp.zeros((1, h, w, 11)).at[..., 0].set(1.0)
     variables = jax.jit(partial(my_model.init, deterministic=True))(
         jax.random.PRNGKey(0), img0, oh0)
     params, missing, _ = convert_state_dict(
         ref_model.state_dict(), variables["params"], my_cfg)
     assert not [m for m in missing if "running" not in m]
 
-    frames, masks, obj_nums = _clip()
+    frames, masks, obj_nums = _clip(h, w)
     eng = build_train_engine(my_model, my_cfg)
+    # deterministic=True mirrors ref_engine.eval(): the reference's DWConv2d
+    # carries a hardcoded Dropout2d(p=0.1) (basic.py:38-57) that eval() turns
+    # off; real training keeps it on in BOTH frameworks.
     fwd = jax.jit(lambda p, f, m, o: eng.forward(
         p, f, m, o, float(STEP), enable_prev_frame=enable_prev_frame,
+        deterministic=True,
         rngs={"dropout": jax.random.PRNGKey(1),
               "droppath": jax.random.PRNGKey(2)}))
     loss, stats = fwd(params, jnp.asarray(frames),

@@ -53,16 +53,19 @@ def main():
     valid = jnp.asarray([int(args.lk * args.valid_frac)], jnp.int32)
 
     def timed(name, fn):
-        out = fn(q)  # compile + correctness probe
-        jax.block_until_ready(out)
+        # one jitted step per variant: attention + feedback chain, so the
+        # loop below is a pure device-side dependency chain (tunnel rule)
+        @jax.jit
+        def step(x):
+            out = fn(x)
+            return out, q + 1e-6 * out[..., :h * d]
+
+        out, x = step(q)  # compile + correctness probe
+        jax.block_until_ready(x)
         ref = out
         t0 = time.perf_counter()
-        x = q
         for _ in range(args.iters):
-            out = fn(x)
-            # chain: next q depends on this output (tile dv -> h*d)
-            x = q + 1e-6 * jnp.tile(out, (1, 1, (h * d) // (h * dv) or 1)
-                                    )[..., :h * d]
+            out, x = step(x)
         jax.block_until_ready(x)
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(json.dumps({"variant": name, "ms": round(ms, 3),
@@ -80,14 +83,19 @@ def main():
     ref = timed("xla", xla_path)
 
     for bq, bk in [(256, 1024), (512, 1024), (1024, 512), (1024, 1024),
-                   (1024, 2048), (896, 1024)]:
-        def fl(qq, bq=bq, bk=bk):
-            return flash_memory_attention(qq, k, v, valid, num_heads=h,
-                                          d_att=d, block_q=bq, block_k=bk)
-        out = timed(f"flash_bq{bq}_bk{bk}", fl)
-        err = float(jnp.max(jnp.abs(out - ref)))
-        print(json.dumps({"variant": f"flash_bq{bq}_bk{bk}",
-                          "max_abs_err_vs_xla": err}), flush=True)
+                   (896, 1024), (896, 512), (512, 2048)]:
+        try:
+            def fl(qq, bq=bq, bk=bk):
+                return flash_memory_attention(qq, k, v, valid, num_heads=h,
+                                              d_att=d, block_q=bq,
+                                              block_k=bk)
+            out = timed(f"flash_bq{bq}_bk{bk}", fl)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            print(json.dumps({"variant": f"flash_bq{bq}_bk{bk}",
+                              "max_abs_err_vs_xla": err}), flush=True)
+        except Exception as e:  # VMEM overflow etc.
+            print(json.dumps({"variant": f"flash_bq{bq}_bk{bk}",
+                              "error": str(e)[:120]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--log_step", type=int, default=-1)
     parser.add_argument("--save_step", type=int, default=-1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="raw config override (python literal value)")
     args = parser.parse_args()
 
     from aot_tpu.configs import build_config
@@ -57,6 +60,14 @@ def main():
         over["TRAIN_LOG_STEP"] = args.log_step
     if args.save_step > 0:
         over["TRAIN_SAVE_STEP"] = args.save_step
+    import ast
+
+    for kv in args.overrides:
+        key, _, val = kv.partition("=")
+        try:
+            over[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            over[key] = val
 
     cfg = build_config(stage=args.stage, model=args.model,
                        exp_name=args.exp_name, make_dirs=True, **over)
