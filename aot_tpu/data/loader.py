@@ -58,7 +58,11 @@ class TrainLoader:
         self.epoch = 0
         self._pool = None
         if num_workers > 0:
-            ctx = mp.get_context("fork")
+            # spawn, not fork: the Trainer creates the loader after JAX has
+            # started its runtime threads, and forking a multithreaded
+            # process can deadlock in the children. Workers only run the
+            # numpy/PIL augmentation pipeline (the dataset pickles cleanly).
+            ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(num_workers, initializer=_worker_init,
                                   initargs=(dataset, seed))
 
@@ -66,6 +70,13 @@ class TrainLoader:
         rng = np.random.RandomState(self.seed + epoch)
         idx = rng.permutation(len(self.dataset))
         global_bs = self.batch_size * self.num_shards
+        if len(idx) < global_bs:
+            # dataset smaller than one global batch (tiny fixtures / demo
+            # sets): tile the permutation so every epoch yields >= 1 batch
+            # instead of silently spinning through empty epochs
+            reps = -(-global_bs // len(idx))
+            idx = np.concatenate([rng.permutation(len(self.dataset))
+                                  for _ in range(reps)])
         n_batches = len(idx) // global_bs
         idx = idx[: n_batches * global_bs].reshape(n_batches, self.num_shards,
                                                    self.batch_size)

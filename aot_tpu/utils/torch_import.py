@@ -357,8 +357,9 @@ def build_rules(cfg) -> List:
         rules += _swin_rules()
     elif enc == "mobilenetv3":
         rules += _mobilenetv3_rules()
-    elif enc in ("resnest50", "resnest101"):
-        layers = (3, 4, 6) if enc == "resnest50" else (3, 4, 23)
+    elif enc.startswith("resnest"):
+        layers = {"resnest50": (3, 4, 6), "resnest101": (3, 4, 23),
+                  "resnest200": (3, 24, 36), "resnest269": (3, 30, 48)}[enc]
         rules += _resnest_rules(layers)
 
     _map_conv("encoder_projector", "encoder_projector", rules)

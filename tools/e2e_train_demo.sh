@@ -17,12 +17,21 @@ rm -rf "$RUN" && mkdir -p "$RUN/datasets/Static" "$RUN/datasets"
 ln -sfn "$DEMO" "$RUN/datasets/Demo"
 
 python - "$RUN" "$DEMO" <<'EOF'
-# Static-layout (JPEGImages/ + Annotations/) from the Demo annotated frames
-import os, shutil, sys
+# Static-layout (JPEGImages/ + Annotations/) from the Demo annotated frames.
+# Sources are resized to ~300px short side at build time: the augmentation
+# pipeline (affine warp, hue, jitter) costs O(source pixels) and the crop is
+# 257^2 — the reference's static pretrain sets are similarly pre-sized.
+import os, sys
+from PIL import Image
 run, demo = sys.argv[1], sys.argv[2]
 img_dir = os.path.join(run, "datasets/Static/JPEGImages/COCO")
 ann_dir = os.path.join(run, "datasets/Static/Annotations/COCO")
 os.makedirs(img_dir, exist_ok=True); os.makedirs(ann_dir, exist_ok=True)
+SHORT = 300
+def resized(im, resample):
+    w, h = im.size
+    s = SHORT / min(w, h)
+    return im.resize((round(w * s), round(h * s)), resample) if s < 1 else im
 n = 0
 for seq in sorted(os.listdir(os.path.join(demo, "masks"))):
     for m in sorted(os.listdir(os.path.join(demo, "masks", seq))):
@@ -30,17 +39,20 @@ for seq in sorted(os.listdir(os.path.join(demo, "masks"))):
         src_img = os.path.join(demo, "images", seq, stem + ".jpg")
         if not os.path.exists(src_img):
             continue
-        shutil.copy(src_img, os.path.join(img_dir, f"{seq}_{stem}.jpg"))
-        shutil.copy(os.path.join(demo, "masks", seq, m),
-                    os.path.join(ann_dir, f"{seq}_{stem}.png"))
+        resized(Image.open(src_img).convert("RGB"), Image.BILINEAR).save(
+            os.path.join(img_dir, f"{seq}_{stem}.jpg"), quality=95)
+        mask = Image.open(os.path.join(demo, "masks", seq, m))
+        resized(mask, Image.NEAREST).save(
+            os.path.join(ann_dir, f"{seq}_{stem}.png"))
         n += 1
 print(f"static set: {n} annotated frames")
 EOF
 
 cd "$RUN"
 COMMON=(--exp_name e2e --model aott --datasets static --batch_size 4
-        --data_workers 2 --log_step 10 --save_step "$HALF"
-        --set "DATA_RANDOMCROP=(257,257)" --set TRAIN_LR=0.0004)
+        --data_workers 2 --log_step 25 --save_step "$HALF"
+        --set "DATA_RANDOMCROP=(257,257)" --set TRAIN_LR=0.0004
+        --set TRAIN_IMG_LOG=True --set TRAIN_TBLOG_STEP=250)
 
 # phase 1: first half, then auto-resume completes the run
 python "$REPO/tools/train.py" --stage pre "${COMMON[@]}" --total_steps "$HALF"
