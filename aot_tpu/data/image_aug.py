@@ -148,19 +148,22 @@ class ColorJitter:
         return Image.merge("HSV", (h, s, v)).convert("RGB")
 
     def __call__(self, img: Image.Image) -> Image.Image:
+        # NB: factors are bound as default args — a plain closure over `f`
+        # would late-bind every op to the LAST factor (the tiny hue shift),
+        # making enhance(~0) blank the image.
         ops = []
         if self.brightness > 0:
             f = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
         if self.contrast > 0:
             f = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f))
+            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
         if self.saturation > 0:
             f = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            ops.append(lambda im: ImageEnhance.Color(im).enhance(f))
+            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
         if self.hue > 0:
             f = random.uniform(-self.hue, self.hue)
-            ops.append(lambda im: self._hue_shift(im, f))
+            ops.append(lambda im, f=f: self._hue_shift(im, f))
         random.shuffle(ops)
         for op in ops:
             img = op(img)

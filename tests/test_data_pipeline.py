@@ -109,3 +109,65 @@ def test_loader_sharding_disjoint():
     ib = b._epoch_indices(0).reshape(-1)
     assert set(ia).isdisjoint(set(ib))
     assert len(ia) == len(ib)
+
+
+def test_color_jitter_preserves_brightness():
+    """Regression: the jitter ops must each bind their own factor — a
+    late-bound closure applied every enhance() with the tiny hue factor,
+    silently blanking every StaticTrain/v2-aug image (found by the round-2
+    e2e training run)."""
+    import random
+
+    from PIL import Image
+
+    from aot_tpu.data.image_aug import ColorJitter
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(30, 220, (64, 64, 3), np.uint8))
+    base = np.asarray(img, np.float32).mean()
+    jit = ColorJitter(0.4, 0.4, 0.4, 0.1)
+    random.seed(0)
+    means = [np.asarray(jit(img), np.float32).mean() for _ in range(8)]
+    for m in means:
+        assert 0.5 * base < m < 1.6 * base, (m, base)
+    # factors vary run to run (not all ops collapsed onto one factor)
+    assert np.std(means) > 0.5
+
+
+def test_static_train_frames_have_content():
+    """StaticTrain samples must contain real image content (not blank)."""
+    import os
+    import tempfile
+
+    from PIL import Image as PImage
+
+    from aot_tpu.configs import build_config
+    from aot_tpu.data.train_datasets import build_train_dataset
+
+    rng = np.random.RandomState(1)
+    with tempfile.TemporaryDirectory() as root:
+        img_dir = os.path.join(root, "datasets/Static/JPEGImages/COCO")
+        ann_dir = os.path.join(root, "datasets/Static/Annotations/COCO")
+        os.makedirs(img_dir)
+        os.makedirs(ann_dir)
+        for i in range(2):
+            PImage.fromarray(
+                rng.randint(0, 255, (120, 160, 3), np.uint8)).save(
+                    os.path.join(img_dir, f"{i}.jpg"))
+            lab = np.zeros((120, 160), np.uint8)
+            lab[30:80, 40:100] = 1
+            PImage.fromarray(lab, "P").save(os.path.join(ann_dir, f"{i}.png"))
+        cwd = os.getcwd()
+        os.chdir(root)
+        try:
+            cfg = build_config(stage="pre", model="aott", exp_name="t",
+                               make_dirs=False, DATASETS=["static"],
+                               DATA_RANDOMCROP=(65, 65))
+            ds = build_train_dataset(cfg)
+            f = ds[0]["frames"]
+        finally:
+            os.chdir(cwd)
+        assert f.dtype == np.uint8
+        # random-noise source: a faithful pipeline keeps wide dynamic range
+        assert f.max() > 100, f.max()
+        assert f.astype(np.float32).std() > 10, f.astype(np.float32).std()
