@@ -247,9 +247,22 @@ def relative_emb_from_q(q: jax.Array, weight: jax.Array, bias: jax.Array,
     return out + bias[None, :, None, :]
 
 
-# queries above this count switch to the banded formulation (the dense
-# (HW x HW) score tensor at full-res DAVIS would not fit in HBM)
+# queries above this count switch away from the dense formulation (the
+# dense (HW x HW) score tensor at full-res DAVIS would not fit in HBM):
+# on TPU to the fused Pallas window kernel (v5e, fp32, chained-jit,
+# tools/bench_local.py: 1080p 68x120 XLA-banded 291 ms vs kernel 28.7 ms;
+# 46x80 kernel 14.4 ms; at 480p 29x29 XLA-dense 2.7 ms beats the kernel's
+# 5.8 ms, so the dense path keeps small shapes), elsewhere to the banded
+# jnp formulation (the oracle).
 _DENSE_LOCAL_MAX_TOKENS = 2500
+
+
+def _use_local_kernel() -> bool:
+    if _ATTN_IMPL in ("xla", "reference"):
+        return False
+    if _ATTN_IMPL == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def local_attention(
@@ -267,6 +280,13 @@ def local_attention(
     gate_from: Optional[jax.Array] = None,
 ) -> jax.Array:
     if size_2d[0] * size_2d[1] > _DENSE_LOCAL_MAX_TOKENS and dilation == 1:
+        if _use_local_kernel():
+            from aot_tpu.ops.pallas.local_window_attn import (
+                local_window_attention)
+
+            return local_window_attention(
+                q, k, v, rel_bias, rel_v, num_heads=num_heads,
+                size_2d=size_2d, max_dis=max_dis, d_att=d_att)
         return local_attention_banded(
             q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
             max_dis=max_dis, d_att=d_att)

@@ -5,11 +5,24 @@ TPU-native replacement for the reference's V2 correlation CUDA kernel
 (2*max_dis+1)^2 window around itself, with a per-query relative key bias and
 an optional relative value bias.
 
-Formulation: window-format scores computed by static spatial shifts of the
-key/value image inside VMEM — scores exist only as an (rq*W, win2) tile, the
-softmax runs over the true window axis (225 logits/query instead of the
-banded XLA path's 2640-col masked rows), and nothing O(HW * band) ever
-touches HBM. Grid: (batch*heads, query-row-bands).
+Formulation: window-format scores computed by spatial shifts of the
+key/value band inside VMEM — scores live in a (win2, rq, W) VMEM scratch
+(the banded XLA path materialises O(HW * band_width) masked-dense scores in
+HBM and gathers the bias, which measures ~280 ms at 1080p shapes; this
+kernel keeps everything on-chip). The softmax runs over the true window
+axis (225 logits/query instead of 2640 masked columns).
+
+Grid: (batch*heads, query-row-bands). The window-row walk (dy) is a
+lax.fori_loop and only the 15 column shifts (dx) are unrolled: a fully
+unrolled 225-slot walk allocates every shifted temporary on the Mosaic
+VMEM stack simultaneously (84 MB against the 16 MB scoped limit — hard
+compile error on v5e). The loop bounds the live set to one window row.
+rel_bias is fed pre-transposed to (BH, win2, rows, W) so the per-slot read
+indexes an untiled leading dim instead of rotating the lane axis.
+
+The relative value bias folds into the value walk: out[q] =
+sum_w p[q,w] * (v[shift_w(q)] + rel_v[:, w]), so no transpose or second
+matmul is needed.
 
 The jnp oracles (ops.attention._local_attention_dense /
 local_attention_banded) remain the reference semantics; this kernel is
@@ -30,70 +43,66 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel_no_rv(q_ref, k_ref, v_ref, rb_ref, o_ref, **kw):
-    _kernel(q_ref, k_ref, v_ref, rb_ref, None, o_ref, has_rv=False, **kw)
+def _kernel_no_rv(q_ref, k_ref, v_ref, rb_ref, o_ref, s_ref, **kw):
+    _kernel(q_ref, k_ref, v_ref, rb_ref, None, o_ref, s_ref, **kw)
 
 
-def _kernel_with_rv(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, **kw):
-    _kernel(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, has_rv=True, **kw)
+def _kernel_with_rv(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, **kw):
+    _kernel(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, **kw)
 
 
-def _kernel(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, *,
-            rq: int, height: int, width: int, max_dis: int, scale: float,
-            has_rv: bool):
+def _kernel(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, *,
+            rq: int, height: int, width: int, max_dis: int, scale: float):
     m = max_dis
     win = 2 * m + 1
     band = pl.program_id(1)
     row0 = band * rq
 
     q = q_ref[0].astype(jnp.float32)              # (rq, W, d)
-    k = k_ref[0, 0].astype(jnp.float32)           # (kb, W+2m, d)
-    v = v_ref[0, 0]                               # (kb, W+2m, dv)
-    rb = rb_ref[0].astype(jnp.float32)            # (rq, W, win2)
-
     gy = jax.lax.broadcasted_iota(jnp.int32, (rq, width), 0) + row0
     gx = jax.lax.broadcasted_iota(jnp.int32, (rq, width), 1)
 
-    # phase 1: window-format scores by shifted elementwise products
-    scores = []
-    for dy in range(win):
+    # phase 1: window-format scores, one window ROW per loop step (the dx
+    # shifts are static lane-dim slices; dy walks the band rows dynamically)
+    def score_row(dy, _):
+        krows = k_ref[0, 0, pl.ds(dy, rq), :, :].astype(jnp.float32)
         ky = gy + (dy - m)
         row_ok = (ky >= 0) & (ky < height)
         for dx in range(win):
-            ks = k[dy:dy + rq, dx:dx + width, :]
-            s = jnp.sum(q * ks, axis=-1) * scale + rb[..., dy * win + dx]
+            w_idx = dy * win + dx
+            ks = krows[:, dx:dx + width, :]
+            rbw = rb_ref[0, pl.ds(w_idx, 1), 0, :, :][0]
+            s = jnp.sum(q * ks, axis=-1) * scale + rbw
             kx = gx + (dx - m)
             ok = row_ok & (kx >= 0) & (kx < width)
-            scores.append(jnp.where(ok, s, NEG_INF))
-    s_win = jnp.stack(scores, axis=-1)            # (rq, W, win2) fp32
+            s_ref[pl.ds(w_idx, 1), :, :] = jnp.where(ok, s, NEG_INF)[None]
+        return _
 
-    s_max = jnp.max(s_win, axis=-1, keepdims=True)
-    p = jnp.exp(s_win - s_max)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    jax.lax.fori_loop(0, win, score_row, 0, unroll=False)
 
-    # phase 2: output by shifted accumulation (value image walk)
-    pc = p.astype(v.dtype)
-    out = None
-    for dy in range(win):
+    # softmax over the window axis (leading scratch dim)
+    s = s_ref[...]
+    s_max = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - s_max)
+    s_ref[...] = p / jnp.sum(p, axis=0, keepdims=True)
+
+    # phase 2: output by shifted value accumulation; the relative value
+    # bias (constant per slot) rides along inside the same FMA
+    def value_row(dy, acc):
+        vrows = v_ref[0, 0, pl.ds(dy, rq), :, :].astype(jnp.float32)
         for dx in range(win):
-            vs = v[dy:dy + rq, dx:dx + width, :]  # (rq, W, dv)
             w_idx = dy * win + dx
-            contrib = pc[:, :, w_idx:w_idx + 1] * vs
-            out = contrib if out is None else out + contrib
-    out = out.astype(jnp.float32)
+            vs = vrows[:, dx:dx + width, :]
+            if rv_ref is not None:
+                rvv = rv_ref[0, pl.ds(w_idx, 1), :]
+                vs = vs + rvv[None]               # (1, 1, dv) broadcast
+            pw = s_ref[pl.ds(w_idx, 1), :, :]
+            acc = acc + pw[0][:, :, None] * vs
+        return acc
 
-    if has_rv:
-        # relative value bias: P @ rel_v on the MXU (win2 contraction).
-        # Mosaic accepts DEFAULT/HIGHEST only (the session 'high' default
-        # is an XLA notion; see flash_mem_attn.py).
-        rv = rv_ref[0]                            # (win2, dv)
-        out = out + jax.lax.dot_general(
-            p.reshape(rq * width, win * win), rv.astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(rq, width, -1)
-
+    out = jax.lax.fori_loop(
+        0, win, value_row,
+        jnp.zeros((rq, width, o_ref.shape[-1]), jnp.float32), unroll=False)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -112,7 +121,7 @@ def local_window_attention(
     size_2d: Tuple[int, int],
     max_dis: int = 7,
     d_att: Optional[int] = None,
-    rows_per_band: int = 8,
+    rows_per_band: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
     """Matches ops.attention.local_attention semantics at dilation=1.
@@ -142,8 +151,13 @@ def local_window_attention(
     kv_pad = ((0, 0), (m, m + pad_q), (m, m), (0, 0))
     k_img = jnp.pad(to_img(k, d), kv_pad)
     v_img = jnp.pad(to_img(v, dv), kv_pad)
+    # (BH, win2, nB, rq, W): the kernel reads one (rq, W) slab per window
+    # slot — win2 on an untiled leading dim, band axis explicit so the
+    # block covers the (rq, W) tail exactly (valid for any rq)
     rb = rel_bias.reshape(b * h, hgt, wid, win * win)
     rb = jnp.pad(rb, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    rb = rb.transpose(0, 3, 1, 2).reshape(
+        b * h, win * win, n_bands, rq, wid)
 
     # materialise per-band key/value slices outside the kernel (overlapping
     # bands can't be expressed as BlockSpec tiles; this also lets Pallas
@@ -166,7 +180,8 @@ def local_window_attention(
         pl.BlockSpec((1, rq, wid, d), lambda bh, nb: (bh, nb, 0, 0)),
         pl.BlockSpec((1, 1, kb, wp, d), lambda bh, nb: (bh, nb, 0, 0, 0)),
         pl.BlockSpec((1, 1, kb, wp, dv), lambda bh, nb: (bh, nb, 0, 0, 0)),
-        pl.BlockSpec((1, rq, wid, win * win), lambda bh, nb: (bh, nb, 0, 0)),
+        pl.BlockSpec((1, win * win, 1, rq, wid),
+                     lambda bh, nb: (bh, 0, nb, 0, 0)),
     ]
     args = [q_img, k_bands, v_bands, rb]
     has_rv = rel_v is not None
@@ -186,6 +201,7 @@ def local_window_attention(
         out_specs=pl.BlockSpec((1, rq, wid, dv), lambda bh, nb: (bh, nb, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_bands * rq, wid, dv),
                                        v.dtype),
+        scratch_shapes=[pltpu.VMEM((win * win, rq, wid), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),

@@ -1,0 +1,94 @@
+"""Overfit-one-batch convergence diagnostic.
+
+Pulls ONE real batch from the Static-pretrain pipeline and steps the full
+jitted training step on it repeatedly. If model+loss+optimizer are sound,
+IoU must race toward ~1.0 within a few hundred steps — this isolates the
+training math from data-pipeline variance (the reference has no analogue;
+it is the standard sanity check its 100k-step schedule never needed).
+
+Usage:  cd <run_dir with datasets/Static>  &&  python tools/overfit_check.py
+            [--steps 300] [--model aott] [--batch 4] [--no-jitter]
+Prints one JSON line per log interval and a final verdict line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--model", default="aott")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--crop", type=int, default=257)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--log_step", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aot_tpu.configs import build_config
+    from aot_tpu.train.trainer import Trainer
+    from aot_tpu.data.loader import TrainLoader
+    from aot_tpu.data.train_datasets import build_train_dataset
+    from aot_tpu.parallel import shard_batch
+
+    cfg = build_config(stage="pre", model=args.model, exp_name="overfit")
+    cfg.TRAIN_BATCH_SIZE = args.batch
+    cfg.DATA_RANDOMCROP = (args.crop, args.crop)
+    cfg.TRAIN_LR = args.lr
+    cfg.TRAIN_TOTAL_STEPS = args.steps
+    cfg.DATA_WORKERS = 0
+    cfg.TRAIN_AUTO_RESUME = False
+    cfg.TRAIN_HARD_MINING_RATIO = 0.0   # plain CE: comparable loss curve
+    os.makedirs(cfg.DIR_CKPT, exist_ok=True)
+    os.makedirs(cfg.DIR_LOG, exist_ok=True)
+
+    trainer = Trainer(cfg)
+    dataset = build_train_dataset(cfg)
+    loader = TrainLoader(dataset, cfg.TRAIN_BATCH_SIZE, num_workers=0,
+                         seed=0)
+    batch = next(iter(loader))
+    loader.close()
+
+    frames = shard_batch(trainer.mesh, jnp.asarray(batch["frames"]),
+                         batch_axis=1, axis=cfg.MESH_DP_AXIS)
+    labels = shard_batch(trainer.mesh, jnp.asarray(batch["labels"]),
+                         batch_axis=1, axis=cfg.MESH_DP_AXIS)
+    obj_nums = shard_batch(trainer.mesh, jnp.asarray(batch["obj_nums"]),
+                           batch_axis=0, axis=cfg.MESH_DP_AXIS)
+    print(json.dumps({"obj_nums": [int(x) for x in batch["obj_nums"]]}),
+          flush=True)
+
+    rng = jax.random.PRNGKey(7)
+    state = trainer.state
+    t0 = time.time()
+    last_iou = 0.0
+    for step in range(1, args.steps + 1):
+        rng, sub = jax.random.split(rng)
+        state, stats = trainer.train_step(
+            state, frames, labels, obj_nums, sub, False)
+        if step % args.log_step == 0 or step == args.steps:
+            s = jax.device_get(stats)
+            last_iou = float(s["iou"])
+            print(json.dumps({
+                "step": step,
+                "loss": round(float(s["loss"]), 4),
+                "iou": round(last_iou, 4),
+                "grad": round(float(s["grad_norm"]), 3),
+                "sec_per_it": round((time.time() - t0) / step, 3),
+            }), flush=True)
+    verdict = "PASS" if last_iou > 0.8 else "FAIL"
+    print(json.dumps({"verdict": verdict, "final_iou": last_iou}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
