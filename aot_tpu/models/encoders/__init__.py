@@ -61,4 +61,7 @@ def frozen_param_patterns(name: str, freeze_at: int):
     for idx in range(1, len(pats)):
         if freeze_at >= idx + 1:
             out += pats[idx]
-    return out
+    # terminate every module prefix with '/': a bare "encoder/features_1"
+    # prefix would also capture features_10..18 (that collision silently
+    # froze MobileNetV2's nine deepest blocks and crippled training)
+    return [p if p.endswith("/") else p + "/" for p in out]

@@ -50,3 +50,26 @@ def test_frozen_bn_is_structural():
     # LSTT / decoder params are never frozen by the BN rule
     assert not any(frozen for p, frozen in flat_frozen.items()
                    if not p.startswith("encoder"))
+
+
+def test_trainable_encoder_set_matches_reference():
+    """freeze_at=2 on MobileNetV2 must train features 4..18 (45 conv
+    kernels in the reference, networks/encoders/mobilenetv2.py:240-247).
+    Guards the prefix-collision bug where 'encoder/features_1' silently
+    froze features_10..18."""
+    cfg = build_config(stage="pre", model="aott")
+    params = _params(cfg)
+    groups = build_param_groups(cfg, params)
+
+    trainable = sorted(
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, frozen in jax.tree_util.tree_flatten_with_path(
+            groups["frozen"])[0]
+        if not frozen and "/".join(
+            str(getattr(k, "key", k)) for k in path).startswith("encoder/"))
+    # features 4..17 = 14 inverted-residual blocks x 3 convs
+    # (expand/depthwise/project) + features_18's final 1x1 conv kernel
+    # = 43, matching the reference's requires_grad set exactly
+    assert len(trainable) == 43, trainable
+    stages = {p.split("/")[1] for p in trainable}
+    assert stages == {f"features_{i}" for i in range(4, 19)}, stages
