@@ -41,9 +41,22 @@ for seq in sorted(os.listdir(os.path.join(demo, "masks"))):
             continue
         resized(Image.open(src_img).convert("RGB"), Image.BILINEAR).save(
             os.path.join(img_dir, f"{seq}_{stem}.jpg"), quality=95)
-        mask = Image.open(os.path.join(demo, "masks", seq, m))
-        resized(mask, Image.NEAREST).save(
-            os.path.join(ann_dir, f"{seq}_{stem}.png"))
+        mask = resized(Image.open(os.path.join(demo, "masks", seq, m)),
+                       Image.NEAREST)
+        # keep only the K largest objects (the reference pretrains on
+        # saliency-style 1-object data; the Demo panoptic masks carry 40+
+        # tiny objects, which makes a short from-scratch run unlearnable)
+        import numpy as np
+        arr = np.array(mask)
+        ids, counts = np.unique(arr[arr > 0], return_counts=True)
+        keep = ids[np.argsort(counts)[::-1][:3]]
+        out = np.zeros_like(arr)
+        for new_id, old_id in enumerate(keep, start=1):
+            out[arr == old_id] = new_id
+        pm = Image.fromarray(out, "P" if mask.mode == "P" else "L")
+        if mask.mode == "P":
+            pm.putpalette(mask.getpalette())
+        pm.save(os.path.join(ann_dir, f"{seq}_{stem}.png"))
         n += 1
 print(f"static set: {n} annotated frames")
 EOF
