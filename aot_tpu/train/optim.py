@@ -102,7 +102,12 @@ def build_param_groups(cfg, params) -> Dict[str, Any]:
                 wd = v
                 break
         if leaf.ndim <= 1:
-            wd = 0.0
+            # reference rule (learning.py:69-80): biases never decay;
+            # other 1-dim params decay ONLY inside the encoder when BN is
+            # frozen (e.g. Swin LayerNorm scales)
+            if p.endswith("/bias") or not cfg.MODEL_FREEZE_BN \
+                    or not p.startswith("encoder/"):
+                wd = 0.0
         else:
             for k in no_wd_keys:
                 if k in p:

@@ -73,3 +73,24 @@ def test_trainable_encoder_set_matches_reference():
     assert len(trainable) == 43, trainable
     stages = {p.split("/")[1] for p in trainable}
     assert stages == {f"features_{i}" for i in range(4, 19)}, stages
+
+
+def test_weight_decay_one_dim_rule():
+    """Reference learning.py:69-80: biases never decay; other 1-dim params
+    decay ONLY inside the encoder when BN is frozen (Swin LN scales)."""
+    cfg = build_config(stage="pre", model="aott")
+    fake = {
+        "encoder": {
+            "layers_0": {"norm": {"scale": jnp.ones((96,)),
+                                  "bias": jnp.ones((96,))},
+                         "proj": {"kernel": jnp.ones((3, 3, 8, 8))}},
+        },
+        "lstt": {"norm1": {"scale": jnp.ones((256,)),
+                           "bias": jnp.ones((256,))}},
+    }
+    wd = build_param_groups(cfg, fake)["wd"]
+    assert wd["encoder"]["layers_0"]["norm"]["scale"] > 0  # LN scale decays
+    assert wd["encoder"]["layers_0"]["norm"]["bias"] == 0.0
+    assert wd["encoder"]["layers_0"]["proj"]["kernel"] > 0
+    assert wd["lstt"]["norm1"]["scale"] == 0.0  # outside encoder: no decay
+    assert wd["lstt"]["norm1"]["bias"] == 0.0
