@@ -282,9 +282,9 @@ def local_attention(
     if size_2d[0] * size_2d[1] > _DENSE_LOCAL_MAX_TOKENS and dilation == 1:
         if _use_local_kernel():
             from aot_tpu.ops.pallas.local_window_attn import (
-                local_window_attention)
+                local_window_attention_wide)
 
-            return local_window_attention(
+            return local_window_attention_wide(
                 q, k, v, rel_bias, rel_v, num_heads=num_heads,
                 size_2d=size_2d, max_dis=max_dis, d_att=d_att)
         return local_attention_banded(

@@ -210,3 +210,175 @@ def local_window_attention(
     out = out[:, :hgt]                            # drop band padding
     out = out.reshape(b, h, hgt, wid, dv).transpose(0, 2, 3, 1, 4)
     return out.reshape(b, hw, h * dv)
+
+
+# ---------------------------------------------------------------------------
+# "wide" layout variant: width on lanes, channels on sublanes.
+#
+# The kernel above keeps tensors as (rows, W, d) — with d=32 that uses 32 of
+# 128 lanes (25%) for every elementwise op, and the per-slot probability
+# broadcast p[:, :, None] relayouts (rq, W) on every one of the 225 window
+# slots. This variant lays everything out as (rows, channels, W): the score
+# reduction is a sublane reduce with keepdims (its (rq, 1, W) result is
+# exactly the layout the value walk multiplies by — no relayouts anywhere),
+# and W~120 fills the lane dim. Same math, same oracle tests.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_wide_no_rv(q_ref, k_ref, v_ref, rb_ref, o_ref, s_ref, **kw):
+    _kernel_wide(q_ref, k_ref, v_ref, rb_ref, None, o_ref, s_ref, **kw)
+
+
+def _kernel_wide_rv(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, **kw):
+    _kernel_wide(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, **kw)
+
+
+def _kernel_wide(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, *,
+                 rq: int, height: int, width: int, max_dis: int,
+                 scale: float):
+    m = max_dis
+    win = 2 * m + 1
+    band = pl.program_id(1)
+    row0 = band * rq
+
+    q = q_ref[0, 0].astype(jnp.float32)           # (rq, d, W)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (rq, 1, width), 0) + row0
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rq, 1, width), 2)
+
+    def score_row(dy, _):
+        krows = k_ref[0, 0, pl.ds(dy, rq), :, :].astype(jnp.float32)
+        ky = gy + (dy - m)
+        row_ok = (ky >= 0) & (ky < height)
+        for dx in range(win):
+            w_idx = dy * win + dx
+            ks = krows[:, :, dx:dx + width]
+            s = jnp.sum(q * ks, axis=1, keepdims=True) * scale  # (rq, 1, W)
+            s = s + rb_ref[0, pl.ds(w_idx, 1), 0, :, :, :][0]
+            kx = gx + (dx - m)
+            ok = row_ok & (kx >= 0) & (kx < width)
+            s_ref[pl.ds(w_idx, 1)] = jnp.where(ok, s, NEG_INF)[None]
+        return _
+
+    jax.lax.fori_loop(0, win, score_row, 0, unroll=False)
+
+    s = s_ref[...]                                # (win2, rq, 1, W)
+    s_max = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - s_max)
+    s_ref[...] = p / jnp.sum(p, axis=0, keepdims=True)
+
+    def value_row(dy, acc):
+        vrows = v_ref[0, 0, pl.ds(dy, rq), :, :].astype(jnp.float32)
+        for dx in range(win):
+            w_idx = dy * win + dx
+            vs = vrows[:, :, dx:dx + width]       # (rq, dv, W)
+            if rv_ref is not None:
+                # rv is fed as (h, win_dy, dv, win_dx): dy lands on an
+                # untiled dim (dynamic index OK) and dx is a static lane
+                # slice — a dynamic LANE index would need 128-alignment
+                rvv = rv_ref[0, pl.ds(dy, 1), :, dx:dx + 1][0]
+                vs = vs + rvv[None]               # (1, dv, 1) lane-splat
+            pw = s_ref[pl.ds(w_idx, 1)][0]        # (rq, 1, W)
+            acc = acc + pw * vs
+        return acc
+
+    out = jax.lax.fori_loop(
+        0, win, value_row,
+        jnp.zeros((rq, o_ref.shape[-2], width), jnp.float32), unroll=False)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "size_2d", "max_dis", "d_att",
+                     "rows_per_band", "interpret"))
+def local_window_attention_wide(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,
+    rel_v: Optional[jax.Array],
+    *,
+    num_heads: int,
+    size_2d: Tuple[int, int],
+    max_dis: int = 7,
+    d_att: Optional[int] = None,
+    rows_per_band: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same semantics/signature as local_window_attention (wide layout)."""
+    hgt, wid = size_2d
+    hw = hgt * wid
+    b, _, cq = q.shape
+    h = num_heads
+    d = d_att if d_att is not None else cq // h
+    dv = v.shape[-1] // h
+    m = max_dis
+    win = 2 * m + 1
+    rq = min(rows_per_band, hgt)
+    n_bands = -(-hgt // rq)
+    pad_q = n_bands * rq - hgt
+
+    def to_img_cw(x, dd):
+        # (B, HW, h*dd) -> (B*h, rows, dd, W)
+        x = x.reshape(b, hgt, wid, h, dd).transpose(0, 3, 1, 4, 2)
+        return x.reshape(b * h, hgt, dd, wid)
+
+    q_img = jnp.pad(to_img_cw(q, d), ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    q_img = q_img.reshape(b * h, n_bands, rq, d, wid)
+    kv_pad = ((0, 0), (m, m + pad_q), (0, 0), (m, m))
+    k_img = jnp.pad(to_img_cw(k, d), kv_pad)
+    v_img = jnp.pad(to_img_cw(v, dv), kv_pad)
+
+    rb = rel_bias.reshape(b * h, hgt, wid, win * win)
+    rb = jnp.pad(rb, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    rb = rb.transpose(0, 3, 1, 2).reshape(
+        b * h, win * win, n_bands, rq, 1, wid)
+
+    kb = rq + 2 * m
+    band_starts = jnp.arange(n_bands) * rq
+
+    def to_bands(img):
+        def one(s):
+            return jax.lax.dynamic_slice_in_dim(img, s, kb, axis=1)
+        sl = jax.vmap(one)(band_starts)           # (nB, BH, kb, dd, wp)
+        return sl.transpose(1, 0, 2, 3, 4)        # (BH, nB, kb, dd, wp)
+
+    k_bands = to_bands(k_img)
+    v_bands = to_bands(v_img)
+
+    wp = wid + 2 * m
+    in_specs = [
+        pl.BlockSpec((1, 1, rq, d, wid), lambda bh, nb: (bh, nb, 0, 0, 0)),
+        pl.BlockSpec((1, 1, kb, d, wp), lambda bh, nb: (bh, nb, 0, 0, 0)),
+        pl.BlockSpec((1, 1, kb, dv, wp), lambda bh, nb: (bh, nb, 0, 0, 0)),
+        pl.BlockSpec((1, win * win, 1, rq, 1, wid),
+                     lambda bh, nb: (bh, 0, nb, 0, 0, 0)),
+    ]
+    args = [q_img, k_bands, v_bands, rb]
+    has_rv = rel_v is not None
+    if has_rv:
+        # (h, dv, win2) -> (h, win_dy, dv, win_dx); see kernel comment
+        rv = rel_v.reshape(h, dv, win, win).transpose(0, 2, 1, 3)
+        in_specs.append(
+            pl.BlockSpec((1, win, dv, win), lambda bh, nb: (bh % h, 0, 0, 0)))
+        args.append(rv)
+
+    kernel = _kernel_wide_rv if has_rv else _kernel_wide_no_rv
+    out = pl.pallas_call(
+        functools.partial(kernel, rq=rq, height=hgt, width=wid,
+                          max_dis=m, scale=1.0 / math.sqrt(d)),
+        grid=(b * h, n_bands),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, rq, dv, wid),
+                               lambda bh, nb: (bh, nb, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_bands, rq, dv, wid),
+                                       v.dtype),
+        scratch_shapes=[pltpu.VMEM((win * win, rq, 1, wid), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(*args)
+
+    out = out.reshape(b, h, n_bands * rq, dv, wid)[:, :, :hgt]
+    out = out.transpose(0, 2, 4, 1, 3)            # (B, rows, W, h, dv)
+    return out.reshape(b, hw, h * dv)

@@ -40,11 +40,12 @@ def main():
     n_objects = int(os.environ.get("BENCH_OBJECTS", "10"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    lt_cap = int(os.environ.get("BENCH_LT_CAP", "8"))
 
     from aot_tpu.utils.runtime import setup_runtime
 
     cfg = build_config(stage="pre_ytb_dav", model=model_name,
-                       TEST_DTYPE=dtype, TEST_LONG_TERM_MEM_CAP=8,
+                       TEST_DTYPE=dtype, TEST_LONG_TERM_MEM_CAP=lt_cap,
                        # steady-state ring -> static shapes for the
                        # throughput loop (eval's default is 'grow')
                        TEST_LONG_TERM_MEM_POLICY="fifo")

@@ -7,7 +7,10 @@ import jax.numpy as jnp
 
 from aot_tpu.ops.attention import (_local_attention_dense,
                                    local_attention_banded)
-from aot_tpu.ops.pallas.local_window_attn import local_window_attention
+from aot_tpu.ops.pallas.local_window_attn import (local_window_attention,
+                                                   local_window_attention_wide)
+
+KERNELS = {"narrow": local_window_attention, "wide": local_window_attention_wide}
 
 
 def _mk(b, hgt, wid, h, d, dv, win2, with_rv, seed=0, dtype=np.float32):
@@ -21,9 +24,10 @@ def _mk(b, hgt, wid, h, d, dv, win2, with_rv, seed=0, dtype=np.float32):
     return q, k, v, rb, rv
 
 
+@pytest.mark.parametrize("impl", list(KERNELS))
 @pytest.mark.parametrize("with_rv", [True, False])
 @pytest.mark.parametrize("hgt,wid,rq", [(10, 12, 4), (9, 7, 8), (8, 8, 8)])
-def test_kernel_matches_dense_oracle(hgt, wid, rq, with_rv):
+def test_kernel_matches_dense_oracle(hgt, wid, rq, with_rv, impl):
     h, d, dv, m = 2, 8, 8, 2
     win2 = (2 * m + 1) ** 2
     q, k, v, rb, rv = _mk(2, hgt, wid, h, d, dv, win2, with_rv)
@@ -31,7 +35,7 @@ def test_kernel_matches_dense_oracle(hgt, wid, rq, with_rv):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rb),
         None if rv is None else jnp.asarray(rv),
         num_heads=h, size_2d=(hgt, wid), max_dis=m, d_att=d)
-    got = local_window_attention(
+    got = KERNELS[impl](
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rb),
         None if rv is None else jnp.asarray(rv),
         num_heads=h, size_2d=(hgt, wid), max_dis=m, d_att=d,
@@ -40,7 +44,8 @@ def test_kernel_matches_dense_oracle(hgt, wid, rq, with_rv):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_kernel_matches_banded_oracle_large():
+@pytest.mark.parametrize("impl", list(KERNELS))
+def test_kernel_matches_banded_oracle_large(impl):
     """Full-res-style shape (banded oracle is itself dense-oracle-tested)."""
     h, d, dv, m = 2, 8, 8, 3
     hgt, wid = 17, 23
@@ -50,7 +55,7 @@ def test_kernel_matches_banded_oracle_large():
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rb),
         jnp.asarray(rv), num_heads=h, size_2d=(hgt, wid), max_dis=m,
         d_att=d, rows_per_band=8)
-    got = local_window_attention(
+    got = KERNELS[impl](
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rb),
         jnp.asarray(rv), num_heads=h, size_2d=(hgt, wid), max_dis=m,
         d_att=d, rows_per_band=8, interpret=True)

@@ -44,7 +44,8 @@ def main():
     setup_runtime(matmul_precision="high")
 
     from aot_tpu.ops import attention as A
-    from aot_tpu.ops.pallas.local_window_attn import local_window_attention
+    from aot_tpu.ops.pallas.local_window_attn import (
+        local_window_attention, local_window_attention_wide)
 
     dt = jnp.dtype(args.dtype)
     b, h, d, dv, m = args.batch, args.heads, args.d_att, args.dv, args.max_dis
@@ -93,20 +94,24 @@ def main():
                                             d_att=d)
         timed("xla_dense", dense)
 
-    for rq in args.bands:
-        def kern(qq, rq=rq):
-            return local_window_attention(qq, k, v, rb, rv, num_heads=h,
-                                          size_2d=(hgt, wid), max_dis=m,
-                                          d_att=d, rows_per_band=rq)
-        try:
-            out = timed(f"pallas_rq{rq}", kern)
-            err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
-                                        - ref.astype(jnp.float32))))
-            print(json.dumps({"variant": f"pallas_rq{rq}",
-                              "max_abs_err_vs_banded": err}), flush=True)
-        except Exception as e:
-            print(json.dumps({"variant": f"pallas_rq{rq}",
-                              "error": str(e)[:160]}), flush=True)
+    impls = {"narrow": local_window_attention,
+             "wide": local_window_attention_wide}
+    for name, fn in impls.items():
+        for rq in args.bands:
+            def kern(qq, rq=rq, fn=fn):
+                return fn(qq, k, v, rb, rv, num_heads=h,
+                          size_2d=(hgt, wid), max_dis=m,
+                          d_att=d, rows_per_band=rq)
+            tag = f"pallas_{name}_rq{rq}"
+            try:
+                out = timed(tag, kern)
+                err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                            - ref.astype(jnp.float32))))
+                print(json.dumps({"variant": tag,
+                                  "max_abs_err_vs_banded": err}), flush=True)
+            except Exception as e:
+                print(json.dumps({"variant": tag,
+                                  "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
