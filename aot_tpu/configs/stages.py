@@ -13,10 +13,12 @@ StageOverrides = Union[Dict[str, Any], Callable[["object"], Dict[str, Any]]]
 
 def _chained_pretrain(cfg) -> str:
     """PRE stage's EMA checkpoint seeds the later stages
-    (reference: configs/pre_ytb_dav.py:12-19)."""
+    (reference: configs/pre_ytb_dav.py:12-19 — hardcodes PRE's
+    save_step_100000.pth; we point at the ema_ckpt DIRECTORY and the
+    trainer resolves it to the latest checkpoint, so shorter PRE runs
+    chain correctly too)."""
     return os.path.join(
-        cfg.DIR_ROOT, "result", cfg.EXP_NAME, "PRE", "ema_ckpt", "save_step_100000"
-    )
+        cfg.DIR_ROOT, "result", cfg.EXP_NAME, "PRE", "ema_ckpt")
 
 
 def _pre(cfg) -> Dict[str, Any]:

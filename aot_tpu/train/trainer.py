@@ -97,9 +97,29 @@ class Trainer:
             self.state = ckpt_lib.load_pytree(cfg.TRAIN_RESUME_CKPT, self.state)
             self.start_step = int(jax.device_get(self.state.step))
             return
-        if cfg.PRETRAIN and cfg.PRETRAIN_MODEL and \
-                os.path.exists(str(cfg.PRETRAIN_MODEL)):
+        if cfg.PRETRAIN and cfg.PRETRAIN_MODEL:
             path = str(cfg.PRETRAIN_MODEL)
+            if os.path.isdir(path):
+                # stage chaining points at the previous stage's ema_ckpt
+                # directory; resolve to its newest checkpoint
+                resolved = ckpt_lib.latest_checkpoint(path)
+                if resolved is None:
+                    raise FileNotFoundError(
+                        f"PRETRAIN_MODEL directory {path} has no "
+                        "checkpoints — did the previous stage run?")
+                path = resolved
+            elif not os.path.exists(path):
+                if cfg.PRETRAIN_FULL:
+                    # a full-model chain (PRE -> PRE_YTB_DAV) must not
+                    # silently train from scratch — the reference fails
+                    # hard here too (trainer.py:248-256 load_network on a
+                    # missing file)
+                    raise FileNotFoundError(
+                        f"PRETRAIN_MODEL {path} does not exist")
+                # encoder-only ImageNet init is optional in this image
+                self.print_log(
+                    f"encoder pretrain {path} not found — random init")
+                return
             if path.endswith(".pth"):
                 from aot_tpu.utils.torch_import import load_torch_pretrained
 

@@ -46,3 +46,18 @@ def test_cli_overrides_win():
     cfg = build_config(stage="pre", model="aott", TRAIN_LR=1e-3, TRAIN_BATCH_SIZE=4)
     assert cfg.TRAIN_LR == 1e-3
     assert cfg.TRAIN_BATCH_SIZE == 4
+
+
+def test_stage_chain_points_at_ema_dir():
+    """PRE_YTB_DAV seeds from PRE's EMA checkpoints; the config points at
+    the ema_ckpt DIRECTORY (the trainer resolves to the newest file), so
+    chains work for any PRE total-step count — the reference hardcodes
+    save_step_100000.pth and breaks for shorter runs."""
+    import os
+
+    from aot_tpu.configs import build_config
+
+    cfg = build_config(stage="pre_ytb_dav", model="aott", exp_name="chainx")
+    assert cfg.PRETRAIN_FULL
+    assert os.path.basename(cfg.PRETRAIN_MODEL) == "ema_ckpt"
+    assert os.path.join("chainx_AOTT", "PRE", "ema_ckpt") in cfg.PRETRAIN_MODEL
