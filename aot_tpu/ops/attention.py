@@ -80,6 +80,27 @@ def set_attn_impl(impl: str) -> None:
     _ATTN_IMPL = impl
 
 
+# Trace-time flag: the training engine wraps its forward in
+# attn_training_context(), so every global attention inside the TRAINING
+# program routes to the differentiable flash kernel regardless of size —
+# under autodiff the XLA path materialises each (B,h,Lq,Lk) fp32 score
+# tensor several times in fwd AND saves it for bwd (measured 129 GB HBM
+# traffic per batch-8 training forward); the fused kernel never does.
+# Inference keeps the measured size thresholds (XLA wins small shapes).
+_TRAINING_TRACE = False
+
+
+class attn_training_context:
+    def __enter__(self):
+        global _TRAINING_TRACE
+        self._prev = _TRAINING_TRACE
+        _TRAINING_TRACE = True
+
+    def __exit__(self, *exc):
+        global _TRAINING_TRACE
+        _TRAINING_TRACE = self._prev
+
+
 def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio,
                dtype=None) -> bool:
     """v5e measurements at Lq=900, h=8, d_att=32 (tools/bench_flash.py,
@@ -92,15 +113,19 @@ def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio,
 
     XLA wins small memories (fused dense softmax); the flash kernel wins
     once the score tensor dominates HBM traffic. 'grow'-policy rings run
-    50-100% valid, which shifts the fp32 crossover to ~8k tokens."""
+    50-100% valid, which shifts the fp32 crossover to ~8k tokens.
+    Under a TRAINING trace the kernel is used for every size (see
+    attn_training_context)."""
     if _ATTN_IMPL in ("xla", "reference"):
         return False
-    if top_k > 0 or max_mem_len_ratio > 0 or valid_len is None:
+    if top_k > 0 or max_mem_len_ratio > 0:
         return False
-    if _ATTN_IMPL == "pallas":
-        return True
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and _ATTN_IMPL != "pallas":
         return False  # jnp path is the oracle everywhere else
+    if _TRAINING_TRACE or _ATTN_IMPL == "pallas":
+        return True
+    if valid_len is None:
+        return False
     if dtype == jnp.bfloat16:
         return lk >= 4096
     return lk >= 8192
@@ -127,11 +152,9 @@ def global_attention(
     b, lq, cq = q.shape
     if _use_flash(k.shape[1], valid_len, top_k, max_mem_len_ratio,
                   dtype=k.dtype):
-        from aot_tpu.ops.pallas.flash_mem_attn import flash_memory_attention
+        from aot_tpu.ops.pallas.flash_attn_vjp import flash_attention
 
-        vl = jnp.asarray(valid_len)
-        vl = jnp.broadcast_to(vl.reshape(-1), (b,))
-        return flash_memory_attention(q, k, v, vl, num_heads, d_att)
+        return flash_attention(q, k, v, valid_len, num_heads, d_att)
     lk = k.shape[1]
     h = num_heads
     d = d_att if d_att is not None else cq // h

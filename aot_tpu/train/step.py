@@ -52,10 +52,15 @@ def make_train_step(cfg, engine: TrainEngine, enable_id_shuffle: bool = True):
 
     def loss_fn(params, frames, masks, obj_nums, step, shuffle, rngs,
                 use_prev_pred):
-        return engine.forward(
-            params, frames, masks, obj_nums, step,
-            shuffle_matrix=shuffle, use_prev_pred=use_prev_pred,
-            enable_prev_frame=enable_prev_frame, rngs=rngs)
+        # trace-time flag: route every global attention in the TRAINING
+        # program through the differentiable flash kernel (ops.attention)
+        from aot_tpu.ops.attention import attn_training_context
+
+        with attn_training_context():
+            return engine.forward(
+                params, frames, masks, obj_nums, step,
+                shuffle_matrix=shuffle, use_prev_pred=use_prev_pred,
+                enable_prev_frame=enable_prev_frame, rngs=rngs)
 
     def train_step(state: TrainState, frames, masks, obj_nums, rng,
                    use_prev_pred: bool):
