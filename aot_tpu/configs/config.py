@@ -133,6 +133,12 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # Attention implementation: 'auto' picks the Pallas kernels on TPU and
     # the jnp oracles elsewhere; 'reference' forces the oracles.
     ATTN_IMPL="auto",
+    # 'auto' dispatch crossovers. Defaults (None) keep the v5e-measured
+    # constants in ops/attention.py; set these (or the matching
+    # AOT_TPU_* env vars) when profiling a different TPU generation.
+    ATTN_FLASH_MIN_KEYS_BF16=None,
+    ATTN_FLASH_MIN_KEYS_FP32=None,
+    ATTN_DENSE_LOCAL_MAX_TOKENS=None,
     # Mesh: data-parallel axis name and size (-1 = all local devices).
     MESH_DP_AXIS="data",
     MESH_DP_SIZE=-1,

@@ -186,6 +186,19 @@ def finalize_clip(clip: Clip, uint8: bool = True) -> Dict[str, np.ndarray]:
     }
 
 
+class ComposeClip:
+    """Picklable sequential composition — spawn dataloader workers pickle
+    the dataset, which holds the transform, so it cannot be a closure."""
+
+    def __init__(self, steps):
+        self.steps = steps
+
+    def __call__(self, clip: Clip) -> Clip:
+        for s in self.steps:
+            clip = s(clip)
+        return clip
+
+
 def build_train_transform(cfg):
     """v1/v2 train-time pipelines (reference: trainer.py:262-287)."""
     steps = [
@@ -201,13 +214,7 @@ def build_train_transform(cfg):
         RandomHorizontalFlipClip(cfg.DATA_RANDOMFLIP),
         PadToSize(cfg.DATA_RANDOMCROP),
     ]
-
-    def transform(clip: Clip) -> Clip:
-        for s in steps:
-            clip = s(clip)
-        return clip
-
-    return transform
+    return ComposeClip(steps)
 
 
 # --- eval-time TTA expansion -------------------------------------------------

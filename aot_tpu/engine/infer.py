@@ -100,9 +100,13 @@ def build_infer_engine(model, cfg, aggregation: str = "soft") -> "VOSInferEngine
     """Build the eval engine from a Config (reference:
     networks/engines/__init__.py:5-21 name x phase dispatch — here the AOT /
     DeAOT split is carried by the model's memory structure)."""
-    from aot_tpu.ops.attention import set_attn_impl
+    from aot_tpu.ops.attention import set_attn_impl, set_attn_thresholds
 
     set_attn_impl(cfg.get("ATTN_IMPL", "auto"))
+    set_attn_thresholds(
+        flash_min_keys_bf16=cfg.get("ATTN_FLASH_MIN_KEYS_BF16"),
+        flash_min_keys_fp32=cfg.get("ATTN_FLASH_MIN_KEYS_FP32"),
+        dense_local_max_tokens=cfg.get("ATTN_DENSE_LOCAL_MAX_TOKENS"))
     eng = VOSEngine(
         model,
         max_obj_num=cfg.MODEL_MAX_OBJ_NUM,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from aot_tpu.engine.engine import VOSEngine
 from aot_tpu.ops import losses as loss_ops
-from aot_tpu.ops.image import interpolate_bilinear, one_hot_mask
+from aot_tpu.ops.image import interpolate_bilinear_cf, one_hot_mask
 
 
 def build_train_engine(model, cfg) -> "TrainEngine":
@@ -89,13 +89,17 @@ class TrainEngine(VOSEngine):
             logits = jnp.einsum("bhwo,bto->bhwt", logits, shuffle_matrix)
         ids = jnp.arange(self.max_obj_num + 1)[None, None, None, :]
         logits = jnp.where(ids <= obj_nums[:, None, None, None], logits, -1e10)
-        logits = interpolate_bilinear(
-            logits, input_size, align_corners=self.align_corners)
+        # go channel-first at stride 4 (tiny transpose), THEN upsample: the
+        # full-res loss ops vectorise over the (H, W) plane instead of the
+        # 11-wide minor class axis (see combined_vos_loss_cf)
+        logits_cf = jnp.transpose(logits, (0, 3, 1, 2))
+        logits_cf = interpolate_bilinear_cf(
+            logits_cf, input_size, align_corners=self.align_corners)
         ratio = jnp.minimum(1.0, step / self.hard_mining_step)
-        loss = loss_ops.combined_vos_loss(
-            logits, gt_mask, obj_nums,
+        loss = loss_ops.combined_vos_loss_cf(
+            logits_cf, gt_mask, obj_nums,
             top_k_percent=self.top_k_percent, top_k_ratio=ratio)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pred = jnp.argmax(logits_cf, axis=1).astype(jnp.int32)
         return loss, pred
 
     # --- the clip forward --------------------------------------------------

@@ -22,6 +22,7 @@ Layouts: sequences are (B, L, C); images are NHWC.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 from typing import Optional, Tuple
 
@@ -70,14 +71,37 @@ def _topk_filter(scores: jax.Array, top_k: int) -> jax.Array:
 # the Pallas flash kernel on TPU; 'xla' forces the dense oracle below.
 # Set once at startup via set_attn_impl (cfg.ATTN_IMPL).
 _ATTN_IMPL = "auto"
-_FLASH_MIN_KEYS = 4096
+# 'auto' dispatch crossovers, MEASURED ON v5e (tools/bench_flash.py,
+# tools/bench_local.py). Other TPU generations have different
+# compute:bandwidth ratios — override per chip via the env vars below, the
+# ATTN_* config keys (applied by build_infer_engine), or
+# set_attn_thresholds(); ATTN_IMPL stays the all-or-nothing switch.
+_FLASH_MIN_KEYS_BF16 = int(os.environ.get("AOT_TPU_FLASH_MIN_KEYS_BF16",
+                                          4096))
+_FLASH_MIN_KEYS_FP32 = int(os.environ.get("AOT_TPU_FLASH_MIN_KEYS_FP32",
+                                          8192))
 # max score-tensor elements before query chunking kicks in (~256 MB fp32)
 _SCORE_BUDGET = 64 * 1024 * 1024
 
 
-def set_attn_impl(impl: str) -> None:
+def set_attn_thresholds(flash_min_keys_bf16=None, flash_min_keys_fp32=None,
+                        dense_local_max_tokens=None) -> None:
+    """Override the v5e-measured 'auto' dispatch crossovers (None = keep)."""
+    global _FLASH_MIN_KEYS_BF16, _FLASH_MIN_KEYS_FP32, _DENSE_LOCAL_MAX_TOKENS
+    if flash_min_keys_bf16 is not None:
+        _FLASH_MIN_KEYS_BF16 = int(flash_min_keys_bf16)
+    if flash_min_keys_fp32 is not None:
+        _FLASH_MIN_KEYS_FP32 = int(flash_min_keys_fp32)
+    if dense_local_max_tokens is not None:
+        _DENSE_LOCAL_MAX_TOKENS = int(dense_local_max_tokens)
+
+
+def set_attn_impl(impl: str) -> str:
+    """Set the dispatch mode; returns the previous mode (for restore)."""
     global _ATTN_IMPL
+    prev = _ATTN_IMPL
     _ATTN_IMPL = impl
+    return prev
 
 
 # Trace-time flag: the training engine wraps its forward in
@@ -127,8 +151,8 @@ def _use_flash(lk: int, valid_len, top_k, max_mem_len_ratio,
     if valid_len is None:
         return False
     if dtype == jnp.bfloat16:
-        return lk >= 4096
-    return lk >= 8192
+        return lk >= _FLASH_MIN_KEYS_BF16
+    return lk >= _FLASH_MIN_KEYS_FP32
 
 
 def global_attention(
@@ -276,12 +300,20 @@ def relative_emb_from_q(q: jax.Array, weight: jax.Array, bias: jax.Array,
 # tools/bench_local.py: 1080p 68x120 XLA-banded 291 ms vs kernel 28.7 ms;
 # 46x80 kernel 14.4 ms; at 480p 29x29 XLA-dense 2.7 ms beats the kernel's
 # 5.8 ms, so the dense path keeps small shapes), elsewhere to the banded
-# jnp formulation (the oracle).
-_DENSE_LOCAL_MAX_TOKENS = 2500
+# jnp formulation (the oracle). v5e-measured; override via env /
+# set_attn_thresholds (see above).
+_DENSE_LOCAL_MAX_TOKENS = int(os.environ.get(
+    "AOT_TPU_DENSE_LOCAL_MAX_TOKENS", 2500))
 
 
 def _use_local_kernel() -> bool:
     if _ATTN_IMPL in ("xla", "reference"):
+        return False
+    if _TRAINING_TRACE:
+        # the wide window kernel defines no custom VJP; a differentiated
+        # trace at crops >_DENSE_LOCAL_MAX_TOKENS tokens must take the
+        # banded formulation instead (the flash path handles training via
+        # flash_attn_vjp; this one via fallback)
         return False
     if _ATTN_IMPL == "pallas":
         return True

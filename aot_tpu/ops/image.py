@@ -63,6 +63,21 @@ def interpolate_bilinear(
     return x
 
 
+def interpolate_bilinear_cf(
+    x: jax.Array, size: Tuple[int, int], align_corners: bool = True
+) -> jax.Array:
+    """Bilinear resize of channel-FIRST (..., H, W) arrays to `size`.
+
+    Same coordinates as interpolate_bilinear; used by the training loss
+    pipeline, which keeps logits channel-major so per-pixel loss ops
+    vectorise over the (H, W) plane instead of an 11-wide minor axis.
+    """
+    h, w = int(size[0]), int(size[1])
+    x = _resize_axis(x, x.ndim - 2, h, align_corners)
+    x = _resize_axis(x, x.ndim - 1, w, align_corners)
+    return x
+
+
 def interpolate_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Nearest resize of NHWC images (torch 'nearest' parity: floor(d*scale))."""
     h, w = int(size[0]), int(size[1])

@@ -22,6 +22,42 @@ import jax.numpy as jnp
 IGNORE = 255
 
 
+def topk_sum(values: jax.Array, k: jax.Array) -> jax.Array:
+    """Exact per-row sum of the k largest entries of a non-negative (B, N)
+    array, without sorting.
+
+    torch.topk (reference loss.py:179) maps to a full XLA sort on TPU
+    (~4 ms forward / ~16 ms with backward for 8x216k rows). Instead, find
+    the k-th largest value by bisection on the IEEE-754 bit pattern
+    (monotone for non-negative floats; 32 fused compare+count passes), then
+
+        sum_topk = sum(v * (v > t)) + (k - count(v > t)) * t
+
+    which equals the sorted top-k sum exactly, ties included. The gradient
+    flows through the elementwise sum term only — identical to topk's
+    subgradient except at threshold ties (one pixel's worth).
+    """
+    b, _ = values.shape
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (b,))
+    v = jax.lax.stop_gradient(values)
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    bits = jnp.maximum(bits, 0)  # -0.0 -> +0.0 bit pattern
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo + 1) // 2
+        ge = (bits >= mid[:, None]).sum(axis=1) >= k
+        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid - 1)
+
+    lo0 = jnp.zeros((b,), jnp.int32)
+    hi0 = jnp.full((b,), jnp.int32(0x7F7FFFFF))  # max finite float32
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    t = jax.lax.bitcast_convert_type(lo, jnp.float32)[:, None]
+    n_above = (v > t).sum(axis=1)
+    above_sum = jnp.sum(jnp.where(v > t, values, 0.0), axis=1)
+    return above_sum + (k - n_above) * t[:, 0]
+
+
 def _class_mask(logits: jax.Array, obj_nums: jax.Array) -> jax.Array:
     """Valid-class mask (B, 1, 1, C): classes 0..obj_num."""
     c = logits.shape[-1]
@@ -61,11 +97,7 @@ def cross_entropy_loss(
     num_px = h * w
     keep_frac = top_k_ratio * top_k_percent + (1.0 - top_k_ratio)
     k = jnp.floor(keep_frac * num_px).astype(jnp.int32)
-    flat = nll.reshape(b, num_px)
-    srt = jnp.sort(flat, axis=1)[:, ::-1]  # descending
-    rank = jnp.arange(num_px)[None, :]
-    kept = (rank < k[..., None]) if k.ndim else (rank < k)
-    return (srt * kept).sum(axis=1) / jnp.maximum(k, 1)
+    return topk_sum(nll.reshape(b, num_px), k) / jnp.maximum(k, 1)
 
 
 def soft_jaccard_loss(
@@ -113,6 +145,60 @@ def combined_vos_loss(
         logits, labels, obj_nums,
         top_k_percent=top_k_percent, top_k_ratio=top_k_ratio)
     jac = soft_jaccard_loss(logits, labels, obj_nums)
+    return bce_weight * ce + iou_weight * jac
+
+
+def combined_vos_loss_cf(
+    logits: jax.Array,
+    labels: jax.Array,
+    obj_nums: jax.Array,
+    *,
+    top_k_percent: float = 0.15,
+    top_k_ratio: jax.Array = 1.0,
+    bce_weight: float = 0.5,
+    iou_weight: float = 0.5,
+) -> jax.Array:
+    """Channel-FIRST (B, C, H, W) combined loss — same math as
+    combined_vos_loss, laid out for the TPU's (8, 128) vector registers.
+
+    The NHWC formulation reduces over an 11-wide minor axis (C=MAX_OBJ+1),
+    wasting 117/128 lanes per op (~21 ms for the 465^2 log_softmax alone);
+    channel-first vectorises every per-pixel op over the (H, W) plane and
+    shares one softmax between the CE and Jaccard terms. Returns (B,).
+    """
+    b, c, h, w = logits.shape
+    logits = logits.astype(jnp.float32)
+    ids = jnp.arange(c)
+    valid_cls = ids[None, :] <= obj_nums[:, None]  # (B, C)
+    x = jnp.where(valid_cls[:, :, None, None], logits, -1e30)
+
+    m = jnp.max(x, axis=1)  # (B, H, W)
+    sumexp = jnp.sum(jnp.exp(x - m[:, None]), axis=1)
+    lse = m + jnp.log(sumexp)
+
+    valid_px = labels != IGNORE
+    lab = jnp.where(valid_px, labels, 0).astype(jnp.int32)
+    onehot = lab[:, None] == ids[None, :, None, None]  # (B, C, H, W) bool
+    x_lab = jnp.sum(jnp.where(onehot, x, 0.0), axis=1)
+    nll = jnp.where(valid_px, lse - x_lab, 0.0)
+
+    keep_frac = top_k_ratio * top_k_percent + (1.0 - top_k_ratio)
+    k = jnp.floor(keep_frac * (h * w)).astype(jnp.int32)
+    ce = topk_sum(nll.reshape(b, h * w), k) / jnp.maximum(k, 1)
+
+    # soft Jaccard on the shared softmax (reference loss.py:28-54,118-137)
+    p = jnp.exp(x - lse[:, None])
+    p = jnp.where(valid_px[:, None], p, 0.0)
+    fg = onehot & valid_px[:, None]
+    inter = jnp.sum(jnp.where(fg, p, 0.0), axis=(2, 3))  # (B, C)
+    p_sum = jnp.sum(p, axis=(2, 3))
+    g_sum = jnp.sum(fg, axis=(2, 3)).astype(jnp.float32)
+    denom = p_sum + g_sum - inter
+    loss_c = 1.0 - inter / (denom + 1e-6)
+    present = (g_sum > 0) & valid_cls
+    n_present = jnp.maximum(present.sum(axis=1), 1)
+    jac = (loss_c * present).sum(axis=1) / n_present
+
     return bce_weight * ce + iou_weight * jac
 
 

@@ -68,7 +68,9 @@ def build_param_groups(cfg, params) -> Dict[str, Any]:
     frozen_prefixes = frozen_param_patterns(
         cfg.MODEL_ENCODER, cfg.TRAIN_ENCODER_FREEZE_AT)
     if cfg.MODEL_FREEZE_BACKBONE:
-        frozen_prefixes = ["encoder"]
+        # trailing '/' so encoder_projector/* is NOT caught (the reference
+        # freezes only the encoder module, trainer.py:84-88)
+        frozen_prefixes = ["encoder/"]
     no_wd_keys = list(cfg.TRAIN_WEIGHT_DECAY_EXEMPTION)
     exclusive = dict(cfg.TRAIN_WEIGHT_DECAY_EXCLUSIVE)
     seq_freeze_keys = list(cfg.TRAIN_SEQ_TRAINING_FREEZE_PARAMS)
@@ -115,7 +117,10 @@ def build_param_groups(cfg, params) -> Dict[str, Any]:
                     break
         return {
             "wd": wd,
-            "encoder": p.startswith("encoder"),
+            # 'encoder/' (not bare 'encoder') so the 0.1x encoder LR ratio
+            # never hits encoder_projector/* (reference learning.py:40-42
+            # matches 'encoder.' module keys only)
+            "encoder": p.startswith("encoder/"),
             "frozen": frozen,
             "seq_freeze": any(k in p for k in seq_freeze_keys),
         }

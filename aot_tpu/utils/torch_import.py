@@ -19,16 +19,48 @@ from typing import Any, Dict, List
 import numpy as np
 
 
-def _t_linear(w):  # (out, in) -> (in, out)
-    return np.ascontiguousarray(np.transpose(w, (1, 0)))
+class _T:
+    """An invertible layout transform: __call__ = torch->here (import),
+    .inv = here->torch (export). Keeping both directions on the same rule
+    object is what makes the .pth round-trip (utils/checkpoint.py:124-160
+    format) a table inversion instead of a second table."""
+
+    def __init__(self, fwd, inv):
+        self._fwd, self.inv = fwd, inv
+
+    def __call__(self, w):
+        return self._fwd(w)
 
 
-def _t_conv(w):  # OIHW -> HWIO
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+def _c(f):
+    return lambda w: np.ascontiguousarray(f(w))
 
 
-def _t_dwconv(w):  # (C, 1, kh, kw) -> (kh, kw, 1, C)
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+# Linear: torch (out, in) <-> kernel (in, out)
+_t_linear = _T(_c(lambda w: np.transpose(w, (1, 0))),
+               _c(lambda w: np.transpose(w, (1, 0))))
+# Conv: torch OIHW <-> kernel HWIO
+_t_conv = _T(_c(lambda w: np.transpose(w, (2, 3, 1, 0))),
+             _c(lambda w: np.transpose(w, (3, 2, 0, 1))))
+# Depthwise conv: torch (C, 1, kh, kw) <-> kernel (kh, kw, 1, C)
+_t_dwconv = _t_conv
+
+
+def _t_rel_w(num_heads: int, d_att: int, win2: int) -> _T:
+    """relative_emb_k grouped 1x1 conv (h*w2, d, 1, 1) <-> (h, w2, d)."""
+    return _T(
+        _c(lambda w: w.reshape(num_heads, win2, d_att)),
+        _c(lambda w: w.reshape(num_heads * win2, d_att, 1, 1)))
+
+
+def _t_rel_b(num_heads: int, win2: int) -> _T:
+    return _T(_c(lambda b: b.reshape(num_heads, win2)),
+              _c(lambda b: b.reshape(-1)))
+
+
+# 1x1 conv used as a linear (ResNeSt SplAt fc1/fc2): (O, I, 1, 1) <-> (I, O)
+_t_fc1x1 = _T(_c(lambda w: np.transpose(w[:, :, 0, 0], (1, 0))),
+              _c(lambda w: np.transpose(w, (1, 0))[:, :, None, None]))
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -91,17 +123,10 @@ def _map_mha(my: str, tp: str, rules, use_linear: bool):
 
 def _map_local_attn(my: str, tp: str, rules, num_heads: int, d_att: int,
                     win2: int = 225):
-    def rel_w(w):  # (h*w2, d, 1, 1) -> (h, w2, d)
-        return np.ascontiguousarray(
-            w.reshape(num_heads, win2, d_att))
-
-    def rel_b(b):
-        return np.ascontiguousarray(b.reshape(num_heads, win2))
-
     rules.append((f"{my}/relative_emb_k_w", f"{tp}.relative_emb_k.weight",
-                  rel_w))
+                  _t_rel_w(num_heads, d_att, win2)))
     rules.append((f"{my}/relative_emb_k_b", f"{tp}.relative_emb_k.bias",
-                  rel_b))
+                  _t_rel_b(num_heads, win2)))
     rules.append((f"{my}/relative_emb_v", f"{tp}.relative_emb_v", None))
     _map_linear(f"{my}/projection", f"{tp}.projection", rules)
 
@@ -118,16 +143,10 @@ def _map_gated(my: str, tp: str, rules, use_linear: bool):
 
 def _map_local_gated(my: str, tp: str, rules, num_heads: int, d_att: int,
                      win2: int = 225):
-    def rel_w(w):
-        return np.ascontiguousarray(w.reshape(num_heads, win2, d_att))
-
-    def rel_b(b):
-        return np.ascontiguousarray(b.reshape(num_heads, win2))
-
     rules.append((f"{my}/relative_emb_k_w", f"{tp}.relative_emb_k.weight",
-                  rel_w))
+                  _t_rel_w(num_heads, d_att, win2)))
     rules.append((f"{my}/relative_emb_k_b", f"{tp}.relative_emb_k.bias",
-                  rel_b))
+                  _t_rel_b(num_heads, win2)))
     _map_conv(f"{my}/dw_conv/DepthwiseConv5x5_0/Conv_0",
               f"{tp}.dw_conv.conv", rules, bias=False, dw=True)
     _map_linear(f"{my}/projection", f"{tp}.projection", rules)
@@ -327,12 +346,12 @@ def _resnest_rules(layers, prefix_my="encoder", prefix_t="encoder") -> List:
             _map_bn(f"{my}/conv2/bn0", f"{tp}.conv2.bn0", rules)
             # fc1/fc2 are 1x1 convs in torch -> Dense here
             rules.append((f"{my}/conv2/fc1/kernel", f"{tp}.conv2.fc1.weight",
-                          lambda w: _t_linear(w[:, :, 0, 0])))
+                          _t_fc1x1))
             rules.append((f"{my}/conv2/fc1/bias", f"{tp}.conv2.fc1.bias",
                           None))
             _map_bn(f"{my}/conv2/bn1", f"{tp}.conv2.bn1", rules)
             rules.append((f"{my}/conv2/fc2/kernel", f"{tp}.conv2.fc2.weight",
-                          lambda w: _t_linear(w[:, :, 0, 0])))
+                          _t_fc1x1))
             rules.append((f"{my}/conv2/fc2/bias", f"{tp}.conv2.fc2.bias",
                           None))
             _map_conv(f"{my}/conv3", f"{tp}.conv3", rules, bias=False)
@@ -444,6 +463,42 @@ def convert_state_dict(sd: Dict[str, np.ndarray], target_params, cfg,
                   # deterministic swin buffers, recomputed on the fly here
                   "relative_position_index", "attn_mask"))]
     return params, missing, unused
+
+
+def export_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """Invert the rule table: this framework's params -> a reference-keyed
+    state_dict (the inverse of convert_state_dict). Keys/layouts match
+    networks/* module names so the REFERENCE engine can load a TPU-trained
+    checkpoint via its prefix-tolerant load_network
+    (reference utils/checkpoint.py:94-121)."""
+    rule_map = {my: (tk, tf) for my, tk, tf in build_rules(cfg)}
+    flat = _flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    unmapped = []
+    for my_key, leaf in flat.items():
+        hit = rule_map.get(my_key)
+        if hit is None:
+            unmapped.append(my_key)
+            continue
+        tk, tf = hit
+        v = np.asarray(leaf, np.float32)
+        sd[tk] = tf.inv(v) if tf is not None else np.ascontiguousarray(v)
+    return sd, unmapped
+
+
+def save_torch_checkpoint(path: str, params, cfg, step: int = 0):
+    """Write a reference-format checkpoint: torch.save({'state_dict': ...})
+    named like save_step_{N}.pth (reference utils/checkpoint.py:124-141).
+    Returns the list of params that had no reference counterpart."""
+    import torch
+
+    sd, unmapped = export_state_dict(params, cfg)
+    blob = {"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}}
+    torch.save(blob, path)
+    if unmapped:
+        print(f"[torch_export] {len(unmapped)} params had no reference "
+              f"counterpart, e.g. {unmapped[:5]}")
+    return unmapped
 
 
 def load_torch_pretrained(path: str, target_params, cfg,

@@ -153,9 +153,38 @@ def main():
     dt_sync = time.perf_counter() - t0
     sync_fps = n_frames / dt_sync
 
-    # headline = device-limit FPS: what an attached host gets (the V100
-    # baseline was measured with an attached GPU; the tunnel's ~65 ms RTT
-    # is a harness artifact, not a property of the framework)
+    # MFU: compiled FLOPs per frame / device time / chip peak. v5e (v5
+    # lite) peak is 197 TFLOP/s bf16; fp32 eval runs matmuls through the
+    # MXU in multi-pass bf16 ('high' precision), so bf16 peak is the
+    # roofline either way.
+    V5E_PEAK_FLOPS = 197e12
+    try:
+        cost = step_u8.lower(
+            params, state, dev_frame).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_frame = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_frame = 0.0
+    mfu = flops_per_frame / (device_ms / 1e3) / V5E_PEAK_FLOPS
+
+    # Pallas kernel numerics on the real chip — every bench run re-verifies
+    # both kernel families against their jnp oracles so Mosaic drift is
+    # caught by the driver's end-of-round capture, not by a manual tool.
+    try:
+        from aot_tpu.ops.pallas.hw_check import run_numerics_checks
+
+        kernels_ok, kernel_errs = run_numerics_checks()
+    except Exception as e:  # noqa: BLE001 — report, never hide
+        kernels_ok, kernel_errs = False, {"error": str(e)}
+    if not kernels_ok:
+        print(f"KERNEL REGRESSION: {kernel_errs}", file=sys.stderr)
+
+    # headline = device-limit FPS. ASSUMPTION: this is per-frame device
+    # compute (scan-chained, single readback); the V100 baseline (51.4) was
+    # an attached-GPU end-to-end measurement. On this harness the chip sits
+    # behind a ~65 ms-RTT tunnel, so end-to-end numbers are link-bound —
+    # reported separately as tunnel_sync_fps / tunnel_pipelined_fps.
     fps = 1000.0 / device_ms
     base = BASELINES.get(model_name, BASELINE_FPS)
     print(json.dumps({
@@ -163,7 +192,14 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / base, 3),
+        "assumption": "device-limit FPS (attached-host projection); "
+                      "baseline 51.4 was attached-V100 end-to-end; "
+                      "tunnel-bound end-to-end numbers reported alongside",
         "device_ms_per_frame": round(device_ms, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_frame": flops_per_frame,
+        "kernels_ok": kernels_ok,
+        "kernel_max_abs_err": kernel_errs,
         "tunnel_pipelined_fps": round(pipelined_fps, 2),
         "tunnel_sync_fps": round(sync_fps, 2),
     }))

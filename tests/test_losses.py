@@ -104,3 +104,46 @@ def test_mean_iou_matches_reference():
             ious.append((inter + 1e-6) / (union + 1e-6))
         per_sample.append(np.mean(ious))
     np.testing.assert_allclose(got, np.mean(per_sample), rtol=1e-5)
+
+
+def test_topk_sum_exact_vs_sort():
+    """Bit-bisection top-k sum == sorted top-k sum, ties included."""
+    from aot_tpu.ops.losses import topk_sum
+
+    rng = np.random.RandomState(7)
+    # duplicate values force ties at the threshold
+    vals = rng.randint(0, 50, size=(3, 4096)).astype(np.float32) / 7.0
+    vals[1, :100] = vals[1, 0]  # heavy tie block
+    vals[2] = 0.0  # all-zero row
+    for k in (1, 7, 613, 4095, 4096):
+        got = np.asarray(topk_sum(vals, np.int32(k)))
+        want = np.sort(vals, axis=1)[:, ::-1][:, :k].sum(axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_combined_loss_cf_matches_nhwc():
+    """Channel-first training-loss path == the NHWC reference formulation."""
+    from aot_tpu.ops.losses import combined_vos_loss_cf
+
+    logits, labels, obj_nums = _data(seed=3, ignore_frac=0.15)
+    for ratio in (0.0, 0.37, 1.0):
+        want = np.asarray(combined_vos_loss(
+            logits, labels, obj_nums,
+            top_k_percent=0.15, top_k_ratio=ratio))
+        got = np.asarray(combined_vos_loss_cf(
+            np.transpose(logits, (0, 3, 1, 2)), labels, obj_nums,
+            top_k_percent=0.15, top_k_ratio=ratio))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_interpolate_bilinear_cf_matches_nhwc():
+    from aot_tpu.ops.image import interpolate_bilinear, interpolate_bilinear_cf
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(2, 13, 17, 5).astype(np.float32)
+    for ac in (True, False):
+        want = np.asarray(interpolate_bilinear(x, (52, 68), align_corners=ac))
+        got = np.asarray(interpolate_bilinear_cf(
+            np.transpose(x, (0, 3, 1, 2)), (52, 68), align_corners=ac))
+        np.testing.assert_allclose(
+            got, np.transpose(want, (0, 3, 1, 2)), rtol=1e-5, atol=1e-6)

@@ -20,6 +20,15 @@ def main():
     parser.add_argument("--flip", action="store_true")
     parser.add_argument("--ms", nargs="+", type=float, default=[1.0])
     parser.add_argument("--max_resolution", type=float, default=480 * 1.3)
+    parser.add_argument("--amp", action="store_true", default=False,
+                        help="bf16 inference (reference tools/eval.py:57 "
+                             "autocast -> TEST_DTYPE=bfloat16)")
+    parser.add_argument("--lstt_num", type=int, default=-1,
+                        help="override MODEL_LSTT_NUM (reference "
+                             "tools/eval.py:34,72-73)")
+    parser.add_argument("--max_id_num", type=int, default=-1,
+                        help="override MODEL_MAX_OBJ_NUM (reference "
+                             "tools/eval.py:37,79-80)")
     parser.add_argument("--lt_gap", type=int, default=-1)
     parser.add_argument("--st_skip", type=int, default=-1)
     parser.add_argument("--mem_cap", type=int, default=-1)
@@ -38,6 +47,15 @@ def main():
         over["TEST_FLIP"] = True
     if args.ms != [1.0]:
         over["TEST_MULTISCALE"] = args.ms
+        # multiscale caps the short edge to prevent OOM (reference
+        # tools/eval.py:96-99)
+        over["TEST_MAX_SHORT_EDGE"] = args.max_resolution
+    if args.amp:
+        over["TEST_DTYPE"] = "bfloat16"
+    if args.lstt_num > 0:
+        over["MODEL_LSTT_NUM"] = args.lstt_num
+    if args.max_id_num > 0:
+        over["MODEL_MAX_OBJ_NUM"] = args.max_id_num
     if args.lt_gap > 0:
         over["TEST_LONG_TERM_MEM_GAP"] = args.lt_gap
     if args.st_skip > 0:

@@ -48,26 +48,29 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    # ---- flash memory attention vs jnp oracle --------------------------
+    # ---- kernel numerics vs jnp oracles (shared with bench.py) ---------
+    from aot_tpu.ops.pallas.hw_check import run_numerics_checks
+
+    _, errs = run_numerics_checks()
+    check("flash_mem_attn_numerics", errs["flash_mem_attn"] < 5e-5,
+          max_abs_err=errs["flash_mem_attn"])
+    check("local_window_kernel_numerics",
+          errs["local_window_kernel"] < 5e-4,
+          max_abs_err=errs["local_window_kernel"])
+
+    if not args.timed:
+        return finish()
+
     from aot_tpu.ops import attention as A
     from aot_tpu.ops.pallas.flash_mem_attn import flash_memory_attention
+    from aot_tpu.ops.pallas.local_window_attn import (
+        local_window_attention_wide as local_window_attention)
 
     b, h, d, lq, lk = 2, 8, 32, 900, 7200
     q = jnp.asarray(rng.randn(b, lq, h * d), jnp.float32)
     k = jnp.asarray(rng.randn(b, lk, h * d), jnp.float32)
     v = jnp.asarray(rng.randn(b, lk, h * d), jnp.float32)
     vl = jnp.asarray([lk, int(lk * 0.6)], jnp.int32)
-    A.set_attn_impl("xla")
-    want = A.global_attention(q, k, v, h, d, valid_len=vl)
-    A.set_attn_impl("auto")
-    got = flash_memory_attention(q, k, v, vl, h, d)
-    err = float(jnp.max(jnp.abs(want - got)))
-    check("flash_mem_attn_numerics", err < 5e-5, max_abs_err=err)
-
-    # ---- local window kernel vs banded oracle --------------------------
-    from aot_tpu.ops.pallas.local_window_attn import (
-        local_window_attention_wide as local_window_attention)
-
     hgt, wid, m = 46, 80, 7
     hw = hgt * wid
     win2 = (2 * m + 1) ** 2
@@ -76,17 +79,6 @@ def main():
     vlo = jnp.asarray(rng.randn(1, hw, h * d), jnp.float32)
     rb = jnp.asarray(0.3 * rng.randn(1, h, hw, win2), jnp.float32)
     rv = jnp.asarray(0.3 * rng.randn(h, d, win2), jnp.float32)
-    want = A.local_attention_banded(
-        ql, kl, vlo, rb, rv, num_heads=h, size_2d=(hgt, wid), max_dis=m,
-        d_att=d)
-    got = local_window_attention(
-        ql, kl, vlo, rb, rv, num_heads=h, size_2d=(hgt, wid), max_dis=m,
-        d_att=d)
-    err = float(jnp.max(jnp.abs(want - got)))
-    check("local_window_kernel_numerics", err < 5e-4, max_abs_err=err)
-
-    if not args.timed:
-        return finish()
 
     # ---- latency gates (chained-jit; generous bounds vs measured) ------
     def timed(fn, x0):
