@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from aot_tpu.engine.engine import VOSEngine
 from aot_tpu.ops import losses as loss_ops
-from aot_tpu.ops.image import interpolate_bilinear_cf, one_hot_mask
+from aot_tpu.ops.image import interpolate_bilinear_matmul_cf, one_hot_mask
 
 
 def build_train_engine(model, cfg) -> "TrainEngine":
@@ -93,7 +93,9 @@ class TrainEngine(VOSEngine):
         # full-res loss ops vectorise over the (H, W) plane instead of the
         # 11-wide minor class axis (see combined_vos_loss_cf)
         logits_cf = jnp.transpose(logits, (0, 3, 1, 2))
-        logits_cf = interpolate_bilinear_cf(
+        # matmul-form resize: differentiated here, and the gather form's
+        # backward is a serialised scatter-add on TPU
+        logits_cf = interpolate_bilinear_matmul_cf(
             logits_cf, input_size, align_corners=self.align_corners)
         ratio = jnp.minimum(1.0, step / self.hard_mining_step)
         loss = loss_ops.combined_vos_loss_cf(

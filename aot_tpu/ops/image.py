@@ -19,21 +19,32 @@ import jax
 import jax.numpy as jnp
 
 
-def _axis_indices(in_size: int, out_size: int, align_corners: bool):
-    """Source indices & lerp weights for one axis (torch upsample parity)."""
-    out = jnp.arange(out_size, dtype=jnp.float32)
+def _axis_indices_np(in_size: int, out_size: int, align_corners: bool):
+    """Source indices & lerp weights for one axis (torch upsample parity).
+
+    Pure numpy (sizes are always static): usable both for the gather
+    formulation and to build dense resize matrices at trace time.
+    """
+    import numpy as np
+
+    out = np.arange(out_size, dtype=np.float32)
     if align_corners:
         if out_size == 1:
-            src = jnp.zeros((1,), jnp.float32)
+            src = np.zeros((1,), np.float32)
         else:
             src = out * ((in_size - 1) / (out_size - 1))
     else:
         src = (out + 0.5) * (in_size / out_size) - 0.5
-        src = jnp.maximum(src, 0.0)  # torch clamps negative source coords
-    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-    i1 = jnp.minimum(i0 + 1, in_size - 1)
-    w = (src - i0.astype(jnp.float32)).astype(jnp.float32)
+        src = np.maximum(src, 0.0)  # torch clamps negative source coords
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w = (src - i0.astype(np.float32)).astype(np.float32)
     return i0, i1, w
+
+
+def _axis_indices(in_size: int, out_size: int, align_corners: bool):
+    i0, i1, w = _axis_indices_np(in_size, out_size, align_corners)
+    return jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(w)
 
 
 def _resize_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
@@ -75,6 +86,44 @@ def interpolate_bilinear_cf(
     h, w = int(size[0]), int(size[1])
     x = _resize_axis(x, x.ndim - 2, h, align_corners)
     x = _resize_axis(x, x.ndim - 1, w, align_corners)
+    return x
+
+
+def _resize_matrix(in_size: int, out_size: int, align_corners: bool):
+    """Dense (out, in) interpolation matrix for one axis — each row holds
+    the two lerp weights of `_axis_indices`, so `A @ x` equals the gather
+    formulation exactly (same coordinates, same clamping)."""
+    import numpy as np
+
+    i0, i1, w = _axis_indices_np(in_size, out_size, align_corners)
+    a = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    a[rows, i0] += 1.0 - w
+    a[rows, i1] += w
+    return jnp.asarray(a)
+
+
+def interpolate_bilinear_matmul_cf(
+    x: jax.Array, size: Tuple[int, int], align_corners: bool = True
+) -> jax.Array:
+    """Bilinear resize of channel-first (..., H, W) arrays via two dense
+    matmuls: `Y = A_h @ X @ A_w^T`.
+
+    Same coordinates as interpolate_bilinear. Preferred on TPU for
+    DIFFERENTIATED resizes: the gather formulation's backward is a
+    scatter-add (serialised on TPU), while this one's backward is two
+    transposed matmuls on the MXU. Upsampling 117->465 is ~2.8 GFLOP per
+    (8, 11) batch — noise at MXU rates.
+    """
+    h, w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    dt = x.dtype
+    if in_h != h:
+        a_h = _resize_matrix(in_h, h, align_corners).astype(dt)
+        x = jnp.einsum("Hh,...hw->...Hw", a_h, x)
+    if in_w != w:
+        a_w = _resize_matrix(in_w, w, align_corners).astype(dt)
+        x = jnp.einsum("Ww,...hw->...hW", a_w, x)
     return x
 
 

@@ -147,3 +147,19 @@ def test_interpolate_bilinear_cf_matches_nhwc():
             np.transpose(x, (0, 3, 1, 2)), (52, 68), align_corners=ac))
         np.testing.assert_allclose(
             got, np.transpose(want, (0, 3, 1, 2)), rtol=1e-5, atol=1e-6)
+
+
+def test_interpolate_bilinear_matmul_cf_matches_gather():
+    from aot_tpu.ops.image import (
+        interpolate_bilinear_cf,
+        interpolate_bilinear_matmul_cf,
+    )
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(2, 5, 13, 17).astype(np.float32)
+    for ac in (True, False):
+        for out in ((52, 68), (7, 9)):  # up and down
+            want = np.asarray(interpolate_bilinear_cf(x, out, align_corners=ac))
+            got = np.asarray(
+                interpolate_bilinear_matmul_cf(x, out, align_corners=ac))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

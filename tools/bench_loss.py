@@ -95,9 +95,29 @@ def main():
 
     add("FULL upsample+CE+jac (fwd)", timeit(full, logits4))
     add("FULL (fwd+bwd)", timeit(jax.grad(full), logits4))
+
+    from aot_tpu.ops.image import (
+        interpolate_bilinear_cf,
+        interpolate_bilinear_matmul_cf,
+    )
+
+    logits4_cf = jnp.transpose(logits4, (0, 3, 1, 2))
+
+    def full_cf(resize):
+        def f(lg4):
+            lg = resize(lg4, (HW, HW))
+            return L.combined_vos_loss_cf(
+                lg, labels, obj_nums,
+                top_k_percent=0.15, top_k_ratio=1.0).sum()
+        return f
+
+    add("FULL_cf gather-resize (fwd+bwd)",
+        timeit(jax.grad(full_cf(interpolate_bilinear_cf)), logits4_cf))
+    add("FULL_cf matmul-resize (fwd+bwd)",
+        timeit(jax.grad(full_cf(interpolate_bilinear_matmul_cf)), logits4_cf))
     print()
     print("per-step estimate (5 loss evals):",
-          f"{5 * dict(rows)['FULL (fwd+bwd)']:.0f} ms fwd+bwd")
+          f"{5 * dict(rows)['FULL_cf matmul-resize (fwd+bwd)']:.0f} ms fwd+bwd")
 
 
 if __name__ == "__main__":

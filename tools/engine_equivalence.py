@@ -270,6 +270,147 @@ def run_mine(eng, params, imgs, label0, new_label, arrive):
 
 
 # --------------------------------------------------------------------------
+# MODEL_USE_PREV_PROB: soft-prob memory writes
+# --------------------------------------------------------------------------
+# The reference's own prev-prob plumbing is unrunnable as written: the
+# evaluator branch reads an undefined `current_prob` when TEST_FLIP is off
+# (evaluator.py:438-441, the intended line survives only as a comment at
+# :433-434), and a (1, C, H, W) prob passed to update_short_term_memory is
+# misclassified as a label by the `size()[0] == 1` guard (aot_engine.py:309)
+# and fed through one_hot_mask. The INTENDED semantics — id embedding
+# computed from the soft probability map instead of the hard one-hot — is
+# what both sides run here: the reference via
+# assign_identity(prob) + update_short_term_memory(None, curr_id_emb=...),
+# mine via update_memory(prob=...).
+
+def run_reference_prevprob(ref_cfg, ref_model, imgs, label0, lt_gap,
+                           st_skip):
+    import torch
+    from networks.engines import build_engine
+
+    T, H, W, _ = imgs.shape
+    eng = build_engine(ref_cfg.MODEL_ENGINE, phase="eval",
+                       aot_model=ref_model, gpu_id=0,
+                       long_term_mem_gap=lt_gap,
+                       short_term_mem_skip=st_skip)
+    timgs = torch.from_numpy(imgs.transpose(0, 3, 1, 2)).contiguous()
+    lab0 = torch.from_numpy(label0.astype(np.float32))[None, None]
+    preds, logits_out = [label0.astype(np.int32)], [None]
+    with torch.no_grad():
+        eng.add_reference_frame(timgs[0:1], lab0, frame_step=0,
+                                obj_nums=int(label0.max()))
+        sub = eng.aot_engines[0]
+        for t in range(1, T):
+            eng.match_propogate_one_frame(timgs[t:t + 1])
+            logit = eng.decode_current_logits((H, W))
+            prob = torch.softmax(logit, dim=1)
+            label = torch.argmax(prob, dim=1, keepdim=True).float()
+            id_emb = sub.assign_identity(prob)
+            sub.update_short_term_memory(None, curr_id_emb=id_emb)
+            preds.append(label[0, 0].numpy().astype(np.int32))
+            logits_out.append(logit[0].numpy())
+    return preds, logits_out
+
+
+def run_mine_prevprob(eng, params, imgs, label0):
+    import jax
+    import jax.numpy as jnp
+
+    T, H, W, _ = imgs.shape
+    jimgs = jnp.asarray(imgs)
+    preds, logits_out = [label0.astype(np.int32)], [None]
+
+    add = jax.jit(eng.add_reference_frame,
+                  static_argnames=("obj_num", "frame_step"))
+    prop = jax.jit(eng.propagate)
+    dec = jax.jit(eng.decode_logits, static_argnames=("output_size",))
+    upd_prob = jax.jit(
+        lambda p, s, pr: eng.engine.update_memory(p, s, prob=pr))
+
+    state = add(params, jimgs[0:1],
+                jnp.asarray(label0.astype(np.int32))[None],
+                obj_num=int(label0.max()))
+    shadow = eng.make_shadow()
+    shadow.add_ref(0)
+    for t in range(1, T):
+        state = prop(params, state, jimgs[t:t + 1])
+        logits = dec(params, state, output_size=(H, W))
+        prob = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(prob, axis=-1).astype(jnp.int32)
+        if shadow.will_write(t):
+            state = eng.ensure_lt_capacity(state, shadow.count + 1)
+        state = upd_prob(params, state, prob)
+        shadow.update(t)
+        preds.append(np.asarray(pred[0]).astype(np.int32))
+        logits_out.append(np.asarray(logits[0]).transpose(2, 0, 1))
+    return preds, logits_out
+
+
+def run_clip_prevprob(model_name, imgs, label0, lt_gap, st_skip):
+    ref_cfg, ref_model = build_reference(model_name)
+    my_cfg, eng, params = build_mine(model_name, lt_gap, st_skip, ref_model)
+    ref_preds, ref_logits = run_reference_prevprob(
+        ref_cfg, ref_model, imgs, label0, lt_gap, st_skip)
+    my_preds, my_logits = run_mine_prevprob(eng, params, imgs, label0)
+    return compare(ref_preds, my_preds, ref_logits, my_logits,
+                   int(label0.max()))
+
+
+# --------------------------------------------------------------------------
+# .pth export round-trip: the REFERENCE engine running TPU-exported weights
+# --------------------------------------------------------------------------
+
+def run_clip_export_roundtrip(model_name, imgs, label0, new_label, arrive,
+                              lt_gap, st_skip, tmpdir):
+    """Closes the checkpoint-parity loop (reference utils/checkpoint.py:
+    124-160 format): THIS framework's natively-initialised params are
+    exported with utils/torch_import.export_state_dict, loaded into the
+    reference model through its own load_network, and the two engines are
+    compared — i.e. the reference itself validates a TPU-side checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from functools import partial as _partial
+
+    from aot_tpu.configs import build_config
+    from aot_tpu.engine import build_infer_engine
+    from aot_tpu.models import build_vos_model
+    from aot_tpu.utils.torch_import import save_torch_checkpoint
+
+    cfg = build_config(stage="ytb", model=model_name)
+    cfg.TEST_LONG_TERM_MEM_GAP = lt_gap
+    cfg.TEST_SHORT_TERM_MEM_SKIP = st_skip
+    model = build_vos_model(cfg, eval_mode=True)
+    eng = build_infer_engine(model, cfg)
+    Hc = Wc = 65 if cfg.MODEL_ALIGN_CORNERS else 64
+    params = jax.jit(_partial(model.init, deterministic=True))(
+        jax.random.PRNGKey(7), jnp.zeros((1, Hc, Wc, 3)),
+        jnp.zeros((1, Hc, Wc, cfg.MODEL_MAX_OBJ_NUM + 1)))["params"]
+
+    ckpt = os.path.join(tmpdir, "save_step_1000.pth")
+    unmapped = save_torch_checkpoint(ckpt, params, cfg)
+    assert not unmapped, f"unexported params: {unmapped[:8]}"
+
+    ref_cfg, ref_model = build_reference(model_name)
+    from utils.checkpoint import load_network
+
+    ref_model, removed = load_network(ref_model, ckpt, None)
+    allowed = ("num_batches_tracked", "relative_position_index",
+               "attn_mask", "mask_token")
+    bad = [k for k in removed if not any(a in k for a in allowed)]
+    assert not bad, f"reference load_network dropped: {bad[:8]}"
+    ref_model = ref_model.eval()
+
+    ref_preds, ref_logits = run_reference(
+        ref_cfg, ref_model, imgs, label0, new_label, arrive, lt_gap, st_skip)
+    my_preds, my_logits = run_mine(eng, params, imgs, label0, new_label,
+                                   arrive)
+    obj_num = int(max(label0.max(),
+                      0 if new_label is None else new_label.max()))
+    return compare(ref_preds, my_preds, ref_logits, my_logits, obj_num)
+
+
+# --------------------------------------------------------------------------
 # TTA (multi-scale + flip): reference evaluator loop vs my real Evaluator
 # --------------------------------------------------------------------------
 
@@ -501,6 +642,12 @@ def main():
     ap.add_argument("--tta", action="store_true",
                     help="multi-scale + flip TTA equivalence (drives the "
                          "real Evaluator vs the reference's multi-aug loop)")
+    ap.add_argument("--prevprob", action="store_true",
+                    help="MODEL_USE_PREV_PROB: soft-prob memory writes "
+                         "(intended semantics of evaluator.py:428-446)")
+    ap.add_argument("--export-roundtrip", action="store_true",
+                    help="reference engine runs THIS framework's exported "
+                         ".pth checkpoint (closes checkpoint-format parity)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -515,7 +662,22 @@ def main():
     h, w = args.size
 
     report = {"model": args.model, "clips": {}}
-    if args.tta:
+    if args.prevprob:
+        imgs, lab0, _ = make_synthetic_video(
+            args.frames, h, w, args.objs, 0, -1, args.seed)
+        report["clips"]["prevprob"] = run_clip_prevprob(
+            args.model, imgs, lab0, args.lt_gap, args.st_skip)
+    elif args.export_roundtrip:
+        import tempfile
+
+        imgs, lab0, new = make_synthetic_video(
+            args.frames, h, w, args.objs, args.new_objs, args.arrive,
+            args.seed)
+        with tempfile.TemporaryDirectory() as td:
+            report["clips"]["export_roundtrip"] = run_clip_export_roundtrip(
+                args.model, imgs, lab0, new, args.arrive, args.lt_gap,
+                args.st_skip, td)
+    elif args.tta:
         import tempfile
 
         imgs, lab0, new = make_synthetic_video(
