@@ -161,3 +161,58 @@ def test_relative_emb_from_q():
             for l in range(HW):
                 want[b, hd, l] = w[hd] @ q[b, l, hd * d:(hd + 1) * d] + bias[hd]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_local_attention_window_matches_naive(dilation):
+    """The training (gather-free, shift-based) formulation vs the loop
+    oracle, including boundary masking, rel biases and dilation."""
+    from aot_tpu.ops.attention import local_attention_window
+
+    rng = np.random.RandomState(3)
+    H, W, max_dis, h = 5, 6, 2, 2
+    HW = H * W
+    B, d, dv = 2, 4 * h, 6 * h
+    q = rng.randn(B, HW, d).astype(np.float32)
+    k = rng.randn(B, HW, d).astype(np.float32)
+    v = rng.randn(B, HW, dv).astype(np.float32)
+    win2 = (2 * max_dis + 1) ** 2
+    rel_bias = rng.randn(B, h, HW, win2).astype(np.float32) * 0.3
+    rel_v = rng.randn(h, dv // h, win2).astype(np.float32) * 0.3
+
+    got = np.asarray(local_attention_window(
+        q, k, v, jnp.asarray(rel_bias), jnp.asarray(rel_v),
+        num_heads=h, size_2d=(H, W), max_dis=max_dis, dilation=dilation))
+    want = naive_local_attention(
+        q, k, v, rel_bias, rel_v, h, H, W, max_dis, dilation)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_local_attention_window_grads_match_dense():
+    """Training dispatch uses the window formulation; its gradients must
+    match the dense path's."""
+    from aot_tpu.ops.attention import (
+        _local_attention_dense,
+        local_attention_window,
+    )
+
+    rng = np.random.RandomState(4)
+    H, W, max_dis, h = 4, 5, 1, 2
+    HW = H * W
+    q = rng.randn(1, HW, 4 * h).astype(np.float32)
+    k = rng.randn(1, HW, 4 * h).astype(np.float32)
+    v = rng.randn(1, HW, 4 * h).astype(np.float32)
+    rel_bias = jnp.asarray(rng.randn(1, h, HW, 9).astype(np.float32) * 0.3)
+    rel_v = jnp.asarray(rng.randn(h, 4, 9).astype(np.float32) * 0.3)
+
+    def loss(fn, q_, k_, v_):
+        return jnp.sum(fn(q_, k_, v_, rel_bias, rel_v, num_heads=h,
+                          size_2d=(H, W), max_dis=max_dis) ** 2)
+
+    g_w = jax.grad(lambda *a: loss(local_attention_window, *a),
+                   argnums=(0, 1, 2))(q, k, v)
+    g_d = jax.grad(lambda *a: loss(_local_attention_dense, *a),
+                   argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_w, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
