@@ -118,6 +118,7 @@ class TrainEngine(VOSEngine):
         enable_prev_frame: bool = False,
         rngs: Optional[Dict] = None,
         deterministic: bool = False,
+        batch_stats: Optional[Dict] = None,  # MODEL_FREEZE_BN=False only
     ) -> Tuple[jax.Array, Dict]:
         # deterministic=True mirrors the reference engine under .eval()
         # (dropout/droppath off, losses still computed) — used by the
@@ -128,7 +129,23 @@ class TrainEngine(VOSEngine):
 
         # 1. offline encoder: all frames in one conv pass
         flat = frames.reshape(t * b, h, w, 3)
-        xs = self.encode_image(params, flat)
+        new_batch_stats = None
+        if batch_stats is not None:
+            # trainable BN (MODEL_FREEZE_BN=False): normalise by CURRENT
+            # batch moments and collect the EMA-updated running stats. The
+            # moments are reductions over the logically-global (T*B) batch
+            # axis, so under a batch-sharded mesh XLA inserts the
+            # cross-replica collective — SyncBN semantics (reference:
+            # trainer.py:66-67 convert_sync_batchnorm). BN exists only in
+            # the encoders, so only this offline encode is threaded.
+            xs, mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, flat,
+                method=type(self.model).encode_image,
+                mutable=["batch_stats"])
+            new_batch_stats = jax.tree.map(
+                jax.lax.stop_gradient, mutated["batch_stats"])
+        else:
+            xs = self.encode_image(params, flat)
         ref_feats = [x.reshape((t, b) + x.shape[1:])[0] for x in xs]
         input_size = (h, w)
 
@@ -224,4 +241,6 @@ class TrainEngine(VOSEngine):
             # unless the trainer fetches it at a log step
             "last_pred": last_pred,
         }
+        if new_batch_stats is not None:
+            stats["batch_stats"] = new_batch_stats
         return total, stats

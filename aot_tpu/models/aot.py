@@ -247,7 +247,9 @@ def build_vos_model(cfg, eval_mode: bool = False):
         att_heads=cfg.MODEL_ATT_HEADS,
         decoder_intermediate=cfg.MODEL_DECODER_INTERMEDIATE_LSTT,
         align_corners=cfg.MODEL_ALIGN_CORNERS,
-        frozen_bn=cfg.MODEL_FREEZE_BN,
+        # eval never updates BN: always build frozen — a trainable-BN ckpt's
+        # batch_stats are folded into params at load (checkpoint.py)
+        frozen_bn=cfg.MODEL_FREEZE_BN or eval_mode,
         emb_dropout=cfg.TRAIN_LSTT_EMB_DROPOUT,
         id_dropout=cfg.TRAIN_LSTT_ID_DROPOUT,
         droppath=cfg.TRAIN_LSTT_DROPPATH,

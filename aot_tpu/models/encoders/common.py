@@ -15,53 +15,71 @@ class FrozenBatchNorm(nn.Module):
     """BatchNorm with fixed statistics and affine params
     (reference: networks/layers/normalization.py:6-43).
 
-    All four arrays live in params (so checkpoint import fills them) but are
+    Frozen mode (default — every reference config sets MODEL_FREEZE_BN=True):
+    all four arrays live in params (so checkpoint import fills them) but are
     excluded from optimization and wrapped in stop_gradient — matching the
     reference's requires_grad=False buffers. Init sets running_var = 1 - eps
     so the transform starts as identity, as the reference does.
+
+    frozen=False (MODEL_FREEZE_BN=False): trainable BatchNorm. weight/bias
+    stay in params (optimized); running stats move to the 'batch_stats'
+    collection. When apply is called with mutable=['batch_stats'] the layer
+    normalises by CURRENT batch statistics and EMA-updates the running stats
+    (torch momentum 0.1, unbiased running_var — torch BatchNorm semantics);
+    otherwise it uses the stored running averages (eval). Batch moments are
+    computed on the logically-global array, so under pjit with a
+    batch-sharded mesh XLA inserts the cross-replica reduction — SyncBN
+    (reference: trainer.py:66-67 convert_sync_batchnorm) with no explicit
+    axis_name.
     """
 
     features: int
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    frozen: bool = True
+    momentum: float = 0.1  # torch nn.BatchNorm2d default
 
     @nn.compact
     def __call__(self, x):
         f = self.features
         weight = self.param("weight", nn.initializers.ones, (f,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
-        mean = self.param("running_mean", nn.initializers.zeros, (f,), jnp.float32)
-        var = self.param(
-            "running_var",
-            lambda k, s, d=jnp.float32: jnp.full(s, 1.0 - self.epsilon, d),
-            (f,), jnp.float32)
+        if self.frozen:
+            mean = self.param("running_mean", nn.initializers.zeros, (f,),
+                              jnp.float32)
+            var = self.param(
+                "running_var",
+                lambda k, s, d=jnp.float32: jnp.full(s, 1.0 - self.epsilon, d),
+                (f,), jnp.float32)
+            scale = weight * jax.lax.rsqrt(var + self.epsilon)
+            shift = bias - mean * scale
+            scale = jax.lax.stop_gradient(scale).astype(x.dtype)
+            shift = jax.lax.stop_gradient(shift).astype(x.dtype)
+            return x * scale + shift
+
+        ra_mean = self.variable("batch_stats", "running_mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "running_var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        use_batch_stats = (self.is_mutable_collection("batch_stats")
+                           and not self.is_initializing())
+        if use_batch_stats:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))  # (N, H, W) of NHWC
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
         scale = weight * jax.lax.rsqrt(var + self.epsilon)
         shift = bias - mean * scale
-        scale = jax.lax.stop_gradient(scale).astype(x.dtype)
-        shift = jax.lax.stop_gradient(shift).astype(x.dtype)
-        return x * scale + shift
-
-
-class BatchNorm(nn.Module):
-    """Trainable BatchNorm (used when MODEL_FREEZE_BN=False). Batch stats go
-    to the 'batch_stats' collection; cross-replica sync via axis_name when a
-    mesh axis is present (SyncBN equivalent, reference: trainer.py:66-67)."""
-
-    features: int
-    epsilon: float = 1e-5
-    momentum: float = 0.9
-    dtype: Dtype = jnp.float32
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x, use_running_average: bool = True):
-        return nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=self.dtype,
-            axis_name=self.axis_name,
-        )(x)
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def conv_kaiming(features: int, kernel_size: int, stride: int = 1,

@@ -57,7 +57,8 @@ class ConvBNReLU6(nn.Module):
         x = conv_kaiming(self.features, self.kernel_size, self.stride,
                          self.dilation, self.groups, dtype=self.dtype,
                          name="conv")(x)
-        x = FrozenBatchNorm(self.features, name="bn")(x)
+        x = FrozenBatchNorm(self.features, frozen=self.frozen_bn,
+                            name="bn")(x)
         return jnp.clip(x, 0.0, 6.0)  # ReLU6
 
 
@@ -84,7 +85,8 @@ class InvertedResidual(nn.Module):
                         frozen_bn=self.frozen_bn, dtype=self.dtype,
                         name="depthwise")(y)
         y = conv_kaiming(self.oup, 1, dtype=self.dtype, name="project")(y)
-        y = FrozenBatchNorm(self.oup, name="project_bn")(y)
+        y = FrozenBatchNorm(self.oup, frozen=self.frozen_bn,
+                            name="project_bn")(y)
         return x + y if use_res else y
 
 

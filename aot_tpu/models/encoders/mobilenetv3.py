@@ -104,6 +104,7 @@ class InvertedResidualV3(nn.Module):
     use_se: bool
     use_hs: bool
     dilation: int = 1
+    frozen_bn: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,11 +113,11 @@ class InvertedResidualV3(nn.Module):
         y = x
         if self.inp != self.exp:
             y = conv_kaiming(self.exp, 1, dtype=self.dtype, name="pw")(y)
-            y = FrozenBatchNorm(self.exp, name="pw_bn")(y)
+            y = FrozenBatchNorm(self.exp, frozen=self.frozen_bn, name="pw_bn")(y)
             y = act(y)
         y = conv_kaiming(self.exp, self.kernel, self.stride, self.dilation,
                          groups=self.exp, dtype=self.dtype, name="dw")(y)
-        y = FrozenBatchNorm(self.exp, name="dw_bn")(y)
+        y = FrozenBatchNorm(self.exp, frozen=self.frozen_bn, name="dw_bn")(y)
         if self.inp == self.exp:
             y = act(y)
             if self.use_se:
@@ -126,7 +127,8 @@ class InvertedResidualV3(nn.Module):
                 y = SELayer(self.exp, dtype=self.dtype, name="se")(y)
             y = act(y)
         y = conv_kaiming(self.out, 1, dtype=self.dtype, name="pw_linear")(y)
-        y = FrozenBatchNorm(self.out, name="pw_linear_bn")(y)
+        y = FrozenBatchNorm(self.out, frozen=self.frozen_bn,
+                            name="pw_linear_bn")(y)
         if self.stride == 1 and self.inp == self.out:
             y = x + y
         return y
@@ -141,19 +143,21 @@ class MobileNetV3Large(nn.Module):
         blocks, last_exp = _walk_cfgs(16)
         x = conv_kaiming(_make_divisible(16), 3, 2, dtype=self.dtype,
                          name="features_0_conv")(x)
-        x = FrozenBatchNorm(_make_divisible(16), name="features_0_bn")(x)
+        x = FrozenBatchNorm(_make_divisible(16), frozen=self.frozen_bn,
+                            name="features_0_bn")(x)
         x = h_swish(x)
         outs = []
         idx = 1
         for (k, exp, out, se, hs, s, d, inp) in blocks:
             x = InvertedResidualV3(inp, exp, out, k, s, bool(se), bool(hs), d,
+                                   frozen_bn=self.frozen_bn,
                                    dtype=self.dtype, name=f"features_{idx}")(x)
             idx += 1
             if idx in _STAGE_SPLIT:
                 outs.append(x)
         # final 1x1 conv applied to the 16x stage output
         x = conv_kaiming(last_exp, 1, dtype=self.dtype, name="conv_conv")(x)
-        x = FrozenBatchNorm(last_exp, name="conv_bn")(x)
+        x = FrozenBatchNorm(last_exp, frozen=self.frozen_bn, name="conv_bn")(x)
         x = h_swish(x)
         outs.append(x)
         return outs

@@ -26,6 +26,7 @@ class SplAtConv2d(nn.Module):
     stride: int = 1
     dilation: int = 1
     radix: int = 2
+    frozen_bn: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -35,13 +36,14 @@ class SplAtConv2d(nn.Module):
         inter = max(self.in_channels * r // 4, 32)
         y = conv_kaiming(c * r, 3, self.stride, self.dilation, groups=r,
                          dtype=self.dtype, name="conv")(x)
-        y = FrozenBatchNorm(c * r, name="bn0")(y)
+        y = FrozenBatchNorm(c * r, frozen=self.frozen_bn, name="bn0")(y)
         y = nn.relu(y)
         b, h, w, _ = y.shape
         split = y.reshape(b, h, w, r, c)
         gap = split.sum(axis=3).mean(axis=(1, 2))  # (B, C)
         gap = nn.Dense(inter, dtype=self.dtype, name="fc1")(gap)
-        gap = FrozenBatchNorm(inter, name="bn1")(gap[:, None, None, :])[:, 0, 0]
+        gap = FrozenBatchNorm(inter, frozen=self.frozen_bn,
+                              name="bn1")(gap[:, None, None, :])[:, 0, 0]
         gap = nn.relu(gap)
         atten = nn.Dense(c * r, dtype=self.dtype, name="fc2")(gap)
         atten = jax.nn.softmax(
@@ -66,6 +68,7 @@ class SplAtBottleneck(nn.Module):
     downsample: bool = False
     avd: bool = True
     is_first: bool = False
+    frozen_bn: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -74,15 +77,15 @@ class SplAtBottleneck(nn.Module):
         use_avd = self.avd and (self.stride > 1 or self.is_first)
         conv_stride = 1 if use_avd else self.stride
         y = conv_kaiming(p, 1, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(p, name="bn1")(y)
+        y = FrozenBatchNorm(p, frozen=self.frozen_bn, name="bn1")(y)
         y = nn.relu(y)
         y = SplAtConv2d(p, p, stride=conv_stride,
-                        dilation=self.dilation, dtype=self.dtype,
-                        name="conv2")(y)
+                        dilation=self.dilation, frozen_bn=self.frozen_bn,
+                        dtype=self.dtype, name="conv2")(y)
         if use_avd:  # avd_first=False: pool AFTER conv2 (resnet.py:152-153)
             y = _avg_pool_3x3(y, self.stride)
         y = conv_kaiming(p * 4, 1, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(p * 4, name="bn3")(y)
+        y = FrozenBatchNorm(p * 4, frozen=self.frozen_bn, name="bn3")(y)
         if self.downsample:
             # avg-down shortcut (resnet.py:333-352); torch uses ceil_mode
             s = x
@@ -95,7 +98,8 @@ class SplAtBottleneck(nn.Module):
                                 count_include_pad=False)
             s = conv_kaiming(p * 4, 1, dtype=self.dtype,
                              name="downsample_conv")(s)
-            x = FrozenBatchNorm(p * 4, name="downsample_bn")(s)
+            x = FrozenBatchNorm(p * 4, frozen=self.frozen_bn,
+                                name="downsample_bn")(s)
         return nn.relu(x + y)
 
 
@@ -126,13 +130,13 @@ class ResNeSt(nn.Module):
         sw = self.stem_width
         # deep stem (resnet.py:232-263)
         x = conv_kaiming(sw, 3, 2, dtype=self.dtype, name="stem_conv1")(x)
-        x = FrozenBatchNorm(sw, name="stem_bn1")(x)
+        x = FrozenBatchNorm(sw, frozen=self.frozen_bn, name="stem_bn1")(x)
         x = nn.relu(x)
         x = conv_kaiming(sw, 3, 1, dtype=self.dtype, name="stem_conv2")(x)
-        x = FrozenBatchNorm(sw, name="stem_bn2")(x)
+        x = FrozenBatchNorm(sw, frozen=self.frozen_bn, name="stem_bn2")(x)
         x = nn.relu(x)
         x = conv_kaiming(sw * 2, 3, 1, dtype=self.dtype, name="stem_conv3")(x)
-        x = FrozenBatchNorm(sw * 2, name="bn1")(x)
+        x = FrozenBatchNorm(sw * 2, frozen=self.frozen_bn, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -149,6 +153,7 @@ class ResNeSt(nn.Module):
                     stride=stride if first else 1,
                     downsample=first,
                     is_first=False,
+                    frozen_bn=self.frozen_bn,
                     dtype=self.dtype,
                     name=f"{name}_{i}")(x)
             inplanes = planes * 4

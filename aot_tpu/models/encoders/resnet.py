@@ -29,18 +29,19 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         p = self.planes
         y = conv_kaiming(p, 1, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(p, name="bn1")(y)
+        y = FrozenBatchNorm(p, frozen=self.frozen_bn, name="bn1")(y)
         y = nn.relu(y)
         y = conv_kaiming(p, 3, self.stride, self.dilation, dtype=self.dtype,
                          name="conv2")(y)
-        y = FrozenBatchNorm(p, name="bn2")(y)
+        y = FrozenBatchNorm(p, frozen=self.frozen_bn, name="bn2")(y)
         y = nn.relu(y)
         y = conv_kaiming(p * 4, 1, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(p * 4, name="bn3")(y)
+        y = FrozenBatchNorm(p * 4, frozen=self.frozen_bn, name="bn3")(y)
         if self.downsample:
             x = conv_kaiming(p * 4, 1, self.stride, dtype=self.dtype,
                              name="downsample_conv")(x)
-            x = FrozenBatchNorm(p * 4, name="downsample_bn")(x)
+            x = FrozenBatchNorm(p * 4, frozen=self.frozen_bn,
+                                name="downsample_bn")(x)
         return nn.relu(x + y)
 
 
@@ -52,7 +53,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = conv_kaiming(64, 7, 2, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = FrozenBatchNorm(64, frozen=self.frozen_bn, name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1): pad with -inf so padding never wins
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

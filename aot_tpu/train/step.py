@@ -27,15 +27,20 @@ class TrainState:
     params: dict
     opt_state: object
     ema: Optional[ema_lib.EMAState]
+    # BN running stats — only populated when MODEL_FREEZE_BN=False
+    # (trainable/Sync BN, reference: trainer.py:66-67); None otherwise
+    batch_stats: Optional[dict] = None
 
 
-def create_train_state(cfg, params, with_ema: bool = True) -> TrainState:
+def create_train_state(cfg, params, with_ema: bool = True,
+                       batch_stats: Optional[dict] = None) -> TrainState:
     tx = build_optimizer(cfg, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         ema=ema_lib.ema_init(params) if with_ema else None,
+        batch_stats=batch_stats,
     )
 
 
@@ -50,8 +55,8 @@ def make_train_step(cfg, engine: TrainEngine, enable_id_shuffle: bool = True):
     enable_prev_frame = cfg.TRAIN_ENABLE_PREV_FRAME and \
         "static" not in cfg.DATASETS  # (reference: trainer.py:296-298)
 
-    def loss_fn(params, frames, masks, obj_nums, step, shuffle, rngs,
-                use_prev_pred):
+    def loss_fn(params, batch_stats, frames, masks, obj_nums, step, shuffle,
+                rngs, use_prev_pred):
         # trace-time flag: route every global attention in the TRAINING
         # program through the differentiable flash kernel (ops.attention)
         from aot_tpu.ops.attention import attn_training_context
@@ -60,7 +65,8 @@ def make_train_step(cfg, engine: TrainEngine, enable_id_shuffle: bool = True):
             return engine.forward(
                 params, frames, masks, obj_nums, step,
                 shuffle_matrix=shuffle, use_prev_pred=use_prev_pred,
-                enable_prev_frame=enable_prev_frame, rngs=rngs)
+                enable_prev_frame=enable_prev_frame, rngs=rngs,
+                batch_stats=batch_stats)
 
     def train_step(state: TrainState, frames, masks, obj_nums, rng,
                    use_prev_pred: bool):
@@ -72,15 +78,17 @@ def make_train_step(cfg, engine: TrainEngine, enable_id_shuffle: bool = True):
         rngs = {"dropout": r_drop, "droppath": r_path}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, stats), grads = grad_fn(
-            state.params, frames, masks, obj_nums,
+            state.params, state.batch_stats, frames, masks, obj_nums,
             state.step.astype(jnp.float32), shuffle, rngs, use_prev_pred)
+        stats = dict(stats)
+        new_bs = stats.pop("batch_stats", state.batch_stats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         ema = (ema_lib.ema_update(state.ema, params, ema_decay)
                if state.ema is not None else None)
         new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state, ema=ema)
-        stats = dict(stats)
+            step=state.step + 1, params=params, opt_state=opt_state, ema=ema,
+            batch_stats=new_bs)
         stats["grad_norm"] = optax_global_norm(grads)
         return new_state, stats
 

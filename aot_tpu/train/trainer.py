@@ -45,20 +45,14 @@ class Trainer:
         self.print_log(f"devices: {self.n_devices}, "
                        f"global batch: {cfg.TRAIN_BATCH_SIZE}")
 
-        if not cfg.MODEL_FREEZE_BN:
-            # no reference config trains with live BN (MODEL_FREEZE_BN=True
-            # throughout); the trainable-BN path would need batch_stats
-            # threading + cross-replica mean/var (SyncBN) through the train
-            # step, which is not wired — fail loudly instead of training
-            # with stale init statistics
-            raise NotImplementedError(
-                "MODEL_FREEZE_BN=False training is not supported: "
-                "batch_stats/SyncBN are not threaded through the train "
-                "step. All reference configs freeze BN.")
         self.model = build_vos_model(cfg)
         self.engine = build_train_engine(self.model, cfg)
         self._init_params()
-        self.state = create_train_state(cfg, self.params)
+        # MODEL_FREEZE_BN=False: BN running stats live in batch_stats and
+        # are EMA-updated from global-batch moments inside the train step
+        # (SyncBN semantics via GSPMD; reference: trainer.py:66-67)
+        self.state = create_train_state(cfg, self.params,
+                                        batch_stats=self.batch_stats)
         self.state = replicate(self.mesh, self.state)
         self.train_step = shard_train_step(
             make_train_step(cfg, self.engine), self.mesh, cfg.MESH_DP_AXIS)
@@ -79,6 +73,7 @@ class Trainer:
         variables = jax.jit(partial(self.model.init, deterministic=True))(
             jax.random.PRNGKey(self.seed), img, oh)
         self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
         n = sum(p.size for p in jax.tree.leaves(self.params))
         self.print_log(f"params: {n / 1e6:.2f}M")
 
@@ -238,6 +233,12 @@ class Trainer:
                                     "ckpt"))
         if self.state.ema is not None:
             ema_params = {"params": jax.device_get(self.state.ema.shadow)}
+            if self.state.batch_stats is not None:
+                # running stats ride along so eval can fold them into the
+                # frozen-BN param layout (reference EMA optionally carries
+                # BN buffers, utils/ema.py:7-19)
+                ema_params["batch_stats"] = jax.device_get(
+                    self.state.batch_stats)
             ckpt_lib.save_checkpoint(
                 cfg.DIR_EMA_CKPT, step, ema_params,
                 max_keep=cfg.TRAIN_MAX_KEEP_CKPT,

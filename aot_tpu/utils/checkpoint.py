@@ -100,6 +100,12 @@ def load_params_partial(path: str, target_params: Any,
         return out
 
     src_flat = flatten(src)
+    if isinstance(raw, dict) and raw.get("batch_stats"):
+        # trainable-BN (MODEL_FREEZE_BN=False) checkpoints carry running
+        # stats in a separate batch_stats tree with the SAME module paths;
+        # eval models are always built frozen, so fold them into params
+        # (paths are disjoint: weight/bias vs running_mean/running_var)
+        src_flat.update(flatten(raw["batch_stats"]))
     tgt_flat = flatten(target_params)
     missing = []
     new_flat = {}
