@@ -40,6 +40,14 @@ def main():
                          "sampling (shared with tools/overfit_ref.py)")
     ap.add_argument("--dump_batch", default="",
                     help="save the sampled batch to this npz and exit")
+    ap.add_argument("--stream_npz", default="",
+                    help="npz of K pre-sampled batches (leading K axis), "
+                         "cycled batches[step %% K] — the fixed data STREAM "
+                         "for long-horizon convergence A/B vs overfit_ref")
+    ap.add_argument("--dump_stream", type=int, default=0,
+                    help="sample K batches from the pipeline, save to "
+                         "--dump_batch path, and exit")
+    ap.add_argument("--jsonl", default="", help="also append metrics here")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +76,35 @@ def main():
 
     import numpy as np
 
-    if args.batch_npz:
+    def cap_objs(b):
+        if args.max_objs <= 0:
+            return b
+        lab = np.asarray(b["labels"])
+        return {"frames": b["frames"],
+                "labels": np.where(lab <= args.max_objs, lab, 0),
+                "obj_nums": np.minimum(np.asarray(b["obj_nums"]),
+                                       args.max_objs)}
+
+    if args.dump_stream > 0:
+        dataset = build_train_dataset(cfg)
+        loader = TrainLoader(dataset, cfg.TRAIN_BATCH_SIZE, num_workers=0,
+                             seed=0)
+        it = iter(loader)
+        batches = [cap_objs(next(it)) for _ in range(args.dump_stream)]
+        loader.close()
+        np.savez(args.dump_batch,
+                 **{k: np.stack([np.asarray(b[k]) for b in batches])
+                    for k in ("frames", "labels", "obj_nums")})
+        print(json.dumps({"dumped_stream": args.dump_batch,
+                          "k": args.dump_stream}))
+        return
+
+    stream = None
+    if args.stream_npz:
+        d = np.load(args.stream_npz)
+        stream = {k: d[k] for k in ("frames", "labels", "obj_nums")}
+        batch = {k: v[0] for k, v in stream.items()}
+    elif args.batch_npz:
         d = np.load(args.batch_npz)
         batch = {k: d[k] for k in ("frames", "labels", "obj_nums")}
     else:
@@ -96,33 +132,50 @@ def main():
             make_train_step(cfg, trainer.engine, enable_id_shuffle=False),
             trainer.mesh, cfg.MESH_DP_AXIS)
 
-    frames = shard_batch(trainer.mesh, jnp.asarray(batch["frames"]),
-                         batch_axis=1, axis=cfg.MESH_DP_AXIS)
-    labels = shard_batch(trainer.mesh, jnp.asarray(batch["labels"]),
-                         batch_axis=1, axis=cfg.MESH_DP_AXIS)
-    obj_nums = shard_batch(trainer.mesh, jnp.asarray(batch["obj_nums"]),
-                           batch_axis=0, axis=cfg.MESH_DP_AXIS)
+    def to_device(b):
+        return (
+            shard_batch(trainer.mesh, jnp.asarray(b["frames"]),
+                        batch_axis=1, axis=cfg.MESH_DP_AXIS),
+            shard_batch(trainer.mesh, jnp.asarray(b["labels"]),
+                        batch_axis=1, axis=cfg.MESH_DP_AXIS),
+            shard_batch(trainer.mesh, jnp.asarray(b["obj_nums"]),
+                        batch_axis=0, axis=cfg.MESH_DP_AXIS),
+        )
+
+    frames, labels, obj_nums = to_device(batch)
     print(json.dumps({"obj_nums": [int(x) for x in batch["obj_nums"]]}),
           flush=True)
+    jf = open(args.jsonl, "a") if args.jsonl else None
 
     rng = jax.random.PRNGKey(7)
     state = trainer.state
     t0 = time.time()
     last_iou = 0.0
+    k_stream = stream["frames"].shape[0] if stream is not None else 1
     for step in range(1, args.steps + 1):
+        if stream is not None:
+            i = (step - 1) % k_stream
+            frames, labels, obj_nums = to_device(
+                {k: v[i] for k, v in stream.items()})
         rng, sub = jax.random.split(rng)
         state, stats = trainer.train_step(
             state, frames, labels, obj_nums, sub, False)
         if step % args.log_step == 0 or step == args.steps:
             s = jax.device_get(stats)
             last_iou = float(s["iou"])
-            print(json.dumps({
+            rec = {
                 "step": step,
                 "loss": round(float(s["loss"]), 4),
                 "iou": round(last_iou, 4),
                 "grad": round(float(s["grad_norm"]), 3),
                 "sec_per_it": round((time.time() - t0) / step, 3),
-            }), flush=True)
+            }
+            print(json.dumps(rec), flush=True)
+            if jf:
+                jf.write(json.dumps(rec) + "\n")
+                jf.flush()
+    if jf:
+        jf.close()
     # calibration: from-scratch AOTT on a fixed 2-object batch reaches
     # ~0.38 IoU in 200 steps in BOTH this framework and the torch
     # reference (droppath keeps full memorisation away); the bar detects

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--log_step", type=int, default=25)
     ap.add_argument("--id_shuffle", action="store_true")
     ap.add_argument("--no_droppath", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="batch_npz holds K batches (leading K axis), "
+                         "cycled batches[step %% K] — must match "
+                         "overfit_check.py --stream_npz")
+    ap.add_argument("--jsonl", default="", help="also append metrics here")
     args = ap.parse_args()
 
     import numpy as np
@@ -88,22 +93,39 @@ def main():
                             weight_decay=cfg.TRAIN_WEIGHT_DECAY)
 
     d = np.load(args.batch_npz)
-    frames, labels = d["frames"], d["labels"]          # (T,B,H,W,3) u8
-    obj_nums = [int(x) for x in d["obj_nums"]]
-    t_len, bsz, h, w, _ = frames.shape
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)
     std = np.asarray([0.229, 0.224, 0.225], np.float32)
-    fr = (frames.astype(np.float32) / 255.0 - mean) / std
-    tf = torch.from_numpy(
-        fr.reshape(t_len * bsz, h, w, 3).transpose(0, 3, 1, 2).copy())
-    tm = torch.from_numpy(
-        labels.astype(np.int64).reshape(t_len * bsz, 1, h, w).copy())
-    print(json.dumps({"obj_nums": obj_nums, "shape": list(frames.shape)}),
-          flush=True)
+
+    def prep(frames, labels, obj_nums_arr):
+        t_len, bsz_, h, w, _ = frames.shape
+        fr = (frames.astype(np.float32) / 255.0 - mean) / std
+        tf_ = torch.from_numpy(
+            fr.reshape(t_len * bsz_, h, w, 3).transpose(0, 3, 1, 2).copy())
+        tm_ = torch.from_numpy(
+            labels.astype(np.int64).reshape(t_len * bsz_, 1, h, w).copy())
+        return tf_, tm_, [int(x) for x in obj_nums_arr], t_len, bsz_
+
+    if args.stream:
+        k_stream = d["frames"].shape[0]
+        batches = [prep(d["frames"][i], d["labels"][i], d["obj_nums"][i])
+                   for i in range(k_stream)]
+        tf, tm, obj_nums, t_len, bsz = batches[0]
+        labels_all = d["labels"]
+    else:
+        k_stream = 1
+        batches = None
+        tf, tm, obj_nums, t_len, bsz = prep(
+            d["frames"], d["labels"], d["obj_nums"])
+        labels_all = d["labels"][None]
+    print(json.dumps({"obj_nums": obj_nums, "k": k_stream}), flush=True)
+    jf = open(args.jsonl, "a") if args.jsonl else None
 
     t0 = time.time()
     last_iou = 0.0
     for step in range(1, args.steps + 1):
+        i_b = (step - 1) % k_stream
+        if batches is not None:
+            tf, tm, obj_nums, t_len, bsz = batches[i_b]
         adjust_learning_rate(
             optimizer=opt, base_lr=args.lr, p=cfg.TRAIN_LR_POWER,
             itr=step, max_itr=args.steps, restart=1,
@@ -124,14 +146,20 @@ def main():
         if step % args.log_step == 0 or step == args.steps:
             with torch.no_grad():
                 pred_np = all_pred[-1].detach().cpu().numpy()
-                targ_np = labels[t_len - 1].astype(np.int64)
+                targ_np = labels_all[i_b][t_len - 1].astype(np.int64)
                 last_iou = float(np_mean_iou(pred_np, targ_np, obj_nums))
-            print(json.dumps({
+            rec = {
                 "step": step,
                 "loss": round(float(loss.detach()), 4),
                 "iou": round(last_iou, 4),
                 "sec_per_it": round((time.time() - t0) / step, 3),
-            }), flush=True)
+            }
+            print(json.dumps(rec), flush=True)
+            if jf:
+                jf.write(json.dumps(rec) + "\n")
+                jf.flush()
+    if jf:
+        jf.close()
     # calibration: from-scratch AOTT on a fixed 2-object batch reaches
     # ~0.38 IoU in 200 steps in BOTH this framework and the torch
     # reference (droppath keeps full memorisation away); the bar detects
