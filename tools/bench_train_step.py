@@ -30,6 +30,9 @@ def main():
     p.add_argument("--mode", choices=["step", "fwd", "grad"], default="step",
                    help="step=full train step; fwd=loss forward only; "
                         "grad=value_and_grad only (no optimizer/EMA)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable jax.checkpoint on the propagation scan "
+                        "body (needs the activations to fit HBM)")
     args = p.parse_args()
 
     from aot_tpu.configs import build_config
@@ -39,7 +42,8 @@ def main():
     from aot_tpu.utils.runtime import setup_runtime
 
     cfg = build_config(stage="pre", model=args.model, exp_name="bench",
-                       make_dirs=False)
+                       make_dirs=False,
+                       **({"TRAIN_REMAT": False} if args.no_remat else {}))
     setup_runtime(matmul_precision=cfg.TRAIN_MATMUL_PRECISION)
     model = build_vos_model(cfg)
     engine = build_train_engine(model, cfg)
@@ -99,6 +103,19 @@ def main():
     print(f"  steady step: {ms:.0f} ms  ({ms / b:.1f} ms/sample; "
           f"loss={loss:.4f})")
     print(f"  all: {[f'{1e3 * x:.0f}' for x in times]}")
+    if args.mode == "step":
+        # training MFU: compiled FLOPs per step / step time / v5e bf16 peak
+        try:
+            cost = step.lower(state, frames, masks, obj_nums, rng,
+                              True).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            mfu = flops / (ms / 1e3) / 197e12
+            print(f"  flops/step: {flops:.3e}  MFU: {mfu:.3f} "
+                  f"(v5e 197 TF/s bf16 peak)")
+        except Exception as e:  # noqa: BLE001
+            print(f"  cost_analysis unavailable: {e}")
 
 
 if __name__ == "__main__":
