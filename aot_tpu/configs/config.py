@@ -122,6 +122,14 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # oldest slot, keeping slot 0 = reference frame pinned — bounds memory
     # AND compute for arbitrarily long videos, beyond the reference).
     TEST_LONG_TERM_MEM_POLICY="grow",
+    # Frames stepped per device dispatch during eval. >1 scans K frames
+    # on-device with mask feedback (engine.step_chunk): one K-frame upload
+    # + one K-mask readback instead of K host round-trips, bit-identical
+    # masks. Applies to single-variant (no TTA) hard-label eval over
+    # label-free stretches; annotated frames always break the chunk. The
+    # reference steps strictly frame-by-frame with a per-frame device sync
+    # (evaluator.py:408 region).
+    TEST_FRAME_CHUNK=1,
     # Compute dtypes. Params/optimizer always fp32.
     TRAIN_DTYPE="bfloat16",
     TEST_DTYPE="float32",

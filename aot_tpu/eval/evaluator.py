@@ -17,6 +17,7 @@ by background threads; prediction fetches are async.
 
 from __future__ import annotations
 
+import copy
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -109,6 +110,17 @@ class Evaluator:
 
         return jax.jit(fn, static_argnames=("input_size",))
 
+    def _make_step_chunk(self, k: int):
+        """K-frame single-dispatch stepping (engine.step_chunk): one upload
+        of K frames, one download of K masks — amortises host<->device
+        latency over label-free stretches. Single-variant (no TTA) only."""
+        eng = self.engine
+
+        def fn(params, state, imgs, orig_size, input_size):
+            return eng.step_chunk(params, state, imgs, orig_size, input_size)
+
+        return jax.jit(fn, static_argnames=("orig_size", "input_size"))
+
     def _make_update_prob(self):
         """MODEL_USE_PREV_PROB: write soft probabilities instead of hard
         labels into memory (reference: evaluator.py:428-446)."""
@@ -155,7 +167,80 @@ class Evaluator:
         # without per-frame device syncs
         shadow = self.engine.make_shadow()
 
-        for frame_idx in range(len(seq)):
+        def emit_mask(mask_np: np.ndarray, meta: Dict):
+            fname = os.path.splitext(meta["current_name"])[0] + ".png"
+            out_path = os.path.join(result_dir, fname)
+            squeeze_idx = meta.get("obj_idx")
+            pending_writes.append(
+                save_mask_async(mask_np.astype(np.uint8), out_path,
+                                list(squeeze_idx) if squeeze_idx else None))
+            # dense (all-frames) eval also exports the sparse 6fps subset
+            # for the submission server (reference: evaluator.py:457-477)
+            images_sparse = getattr(seq, "images_sparse", None)
+            if images_sparse and meta["current_name"] in images_sparse:
+                sparse_dir = (self.result_root or ".").rstrip("/") + "_sparse"
+                os.makedirs(os.path.join(sparse_dir, seq.seq_name),
+                            exist_ok=True)
+                pending_writes.append(save_mask_async(
+                    mask_np.astype(np.uint8),
+                    os.path.join(sparse_dir, seq.seq_name, fname),
+                    list(squeeze_idx) if squeeze_idx else None))
+
+        # chunked stepping (TEST_FRAME_CHUNK > 1): label-free runs of >= 2
+        # frames go through engine.step_chunk — K frames per dispatch, K
+        # masks per readback. Single-variant hard-label mode only; chunk
+        # sizes are powers of two so at most log2(chunk_max) traces exist.
+        chunk_max = int(cfg.get("TEST_FRAME_CHUNK", 1))
+        chunkable = (chunk_max > 1 and len(scales) == 1 and not use_flip
+                     and not cfg.MODEL_USE_PREV_PROB)
+
+        def has_label(i: int) -> bool:
+            return (os.path.splitext(seq.images[i])[0] + ".png"
+                    in getattr(seq, "labels", ()))
+
+        frame_idx = 0
+        while frame_idx < len(seq):
+            if chunkable and frame_idx > 0:
+                run = 0
+                while (run < chunk_max and frame_idx + run < len(seq)
+                       and not has_label(frame_idx + run)):
+                    run += 1
+                k = 1 << (run.bit_length() - 1) if run > 0 else 0
+                if k >= 2:
+                    chunk_samples = [seq[frame_idx + j] for j in range(k)]
+                    m0 = chunk_samples[0]["meta"]
+                    t0 = time.perf_counter()
+                    imgs = np.stack([
+                        multi_restrict_size(
+                            s["image"], None, multi_scale=scales, flip=False,
+                            max_short_edge=cfg.TEST_MAX_SHORT_EDGE,
+                            max_long_edge=cfg.TEST_MAX_LONG_EDGE,
+                            align_corners=cfg.MODEL_ALIGN_CORNERS,
+                        )[0]["image"][None]
+                        for s in chunk_samples])
+                    # pre-grow the LT ring for every write in the chunk
+                    # (the write schedule is host-deterministic)
+                    sh = copy.copy(shadow)
+                    for j in range(k):
+                        sh.update(frame_idx + j)
+                    states[0] = self.engine.ensure_lt_capacity(
+                        states[0], sh.count)
+                    step_c = self._fn(
+                        "chunk", k, builder=lambda: self._make_step_chunk(k))
+                    states[0], preds = step_c(
+                        params, states[0], jnp.asarray(imgs),
+                        (m0["height"], m0["width"]),
+                        tuple(input_sizes[0]))
+                    preds_np = np.asarray(
+                        jax.device_get(preds))  # (K, 1, H, W) uint8
+                    dt = time.perf_counter() - t0
+                    frame_times.extend([dt / k] * k)
+                    for j, s in enumerate(chunk_samples):
+                        shadow.update(frame_idx + j)
+                        emit_mask(preds_np[j, 0], s["meta"])
+                    frame_idx += k
+                    continue
+
             sample = seq[frame_idx]
             image = sample["image"]
             label = sample["label"]
@@ -179,6 +264,7 @@ class Evaluator:
                     states[vi] = add_ref(params, img, vlab, obj_num,
                                          tuple(input_sizes[vi]))
                 shadow.add_ref(0)
+                frame_idx += 1
                 continue
 
             t0 = time.perf_counter()
@@ -258,23 +344,8 @@ class Evaluator:
             frame_times.append(time.perf_counter() - t0)
 
             mask_np = np.asarray(jax.device_get(pred_u8))[0]
-            fname = os.path.splitext(meta["current_name"])[0] + ".png"
-            out_path = os.path.join(result_dir, fname)
-            squeeze_idx = meta.get("obj_idx")
-            pending_writes.append(
-                save_mask_async(mask_np.astype(np.uint8), out_path,
-                                list(squeeze_idx) if squeeze_idx else None))
-            # dense (all-frames) eval also exports the sparse 6fps subset
-            # for the submission server (reference: evaluator.py:457-477)
-            images_sparse = getattr(seq, "images_sparse", None)
-            if images_sparse and meta["current_name"] in images_sparse:
-                sparse_dir = (self.result_root or ".").rstrip("/") + "_sparse"
-                os.makedirs(os.path.join(sparse_dir, seq.seq_name),
-                            exist_ok=True)
-                pending_writes.append(save_mask_async(
-                    mask_np.astype(np.uint8),
-                    os.path.join(sparse_dir, seq.seq_name, fname),
-                    list(squeeze_idx) if squeeze_idx else None))
+            emit_mask(mask_np, meta)
+            frame_idx += 1
 
         for t in pending_writes:
             t.join()

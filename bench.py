@@ -141,6 +141,29 @@ def main():
     np.asarray(prs)  # one readback; the dstate chain serialises all reps
     device_ms = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
 
+    # chunked serving (engine.step_chunk, TEST_FRAME_CHUNK analogue): K
+    # distinct frames uploaded as ONE uint8 array, K steps scanned on
+    # device with mask feedback, K uint8 masks read back once — a real
+    # end-to-end measurement of offline-eval throughput that amortises the
+    # tunnel's per-dispatch latency without the device-limit projection.
+    chunk_k = int(os.environ.get("BENCH_CHUNK", "16"))
+    chunk_fn = jax.jit(lambda p, s, f: eng.step_chunk(
+        p, s, f, orig_size=(H, W), input_size=(H, W)))
+    reps_c = max(1, n_frames // chunk_k)
+    chunks = [np.stack(host_frames[(i * chunk_k) % n_frames:
+                                   (i * chunk_k) % n_frames + chunk_k])
+              for i in range(reps_c)]
+    chunks = [c for c in chunks if c.shape[0] == chunk_k] or \
+        [np.stack([host_frames[0]] * chunk_k)]
+    cstate, cpreds = chunk_fn(params, state, jnp.asarray(chunks[0]))
+    np.asarray(cpreds)
+    t0 = time.perf_counter()
+    for c in chunks:
+        cstate, cpreds = chunk_fn(params, cstate, jnp.asarray(c))
+        np.asarray(cpreds)  # K-mask readback, blocks
+    dt_chunk = time.perf_counter() - t0
+    chunked_fps = len(chunks) * chunk_k / dt_chunk
+
     # sync mode: block on and read back every mask before feeding the next
     # frame — the reference evaluator's cadence (evaluator.py:408-region,
     # per-frame torch.cuda sync). Includes host<->device link latency, so on
@@ -202,6 +225,8 @@ def main():
         "kernel_max_abs_err": kernel_errs,
         "tunnel_pipelined_fps": round(pipelined_fps, 2),
         "tunnel_sync_fps": round(sync_fps, 2),
+        "tunnel_chunked_fps": round(chunked_fps, 2),
+        "chunk_frames": chunk_k,
     }))
 
 

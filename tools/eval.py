@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--max_id_num", type=int, default=-1,
                         help="override MODEL_MAX_OBJ_NUM (reference "
                              "tools/eval.py:37,79-80)")
+    parser.add_argument("--frame_chunk", type=int, default=-1,
+                        help="frames stepped per device dispatch "
+                             "(TEST_FRAME_CHUNK; >1 = chunked on-device "
+                             "scan, single-scale no-flip eval only)")
     parser.add_argument("--lt_gap", type=int, default=-1)
     parser.add_argument("--st_skip", type=int, default=-1)
     parser.add_argument("--mem_cap", type=int, default=-1)
@@ -56,6 +60,8 @@ def main():
         over["MODEL_LSTT_NUM"] = args.lstt_num
     if args.max_id_num > 0:
         over["MODEL_MAX_OBJ_NUM"] = args.max_id_num
+    if args.frame_chunk > 0:
+        over["TEST_FRAME_CHUNK"] = args.frame_chunk
     if args.lt_gap > 0:
         over["TEST_LONG_TERM_MEM_GAP"] = args.lt_gap
     if args.st_skip > 0:
