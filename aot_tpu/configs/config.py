@@ -130,6 +130,13 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # reference steps strictly frame-by-frame with a per-frame device sync
     # (evaluator.py:408 region).
     TEST_FRAME_CHUNK=1,
+    # Rematerialisation of the per-frame propagation scan body. True is
+    # required for batch >= 8 at 465 crops on 16 GB HBM (activations for
+    # the 4 propagated frames OOM otherwise). TRAIN_REMAT_POLICY: 'nothing'
+    # (full recompute, least memory) or 'dots' (keep matmul/conv outputs,
+    # recompute elementwise only — faster backward if it fits).
+    TRAIN_REMAT=True,
+    TRAIN_REMAT_POLICY="nothing",
     # Compute dtypes. Params/optimizer always fp32.
     TRAIN_DTYPE="bfloat16",
     TEST_DTYPE="float32",

@@ -278,7 +278,10 @@ class VOSInferEngine:
         (propagate -> aggregated logits -> bilinear to orig_size -> argmax
         -> nearest-down to input_size -> update_memory), so the masks are
         bit-identical to per-frame stepping; `tests/test_eval_chunked.py`
-        pins that. The LT-gap clock lives in device state, so conditional
+        pins that. (Bit-equality holds per backend: the scan body and the
+        unrolled per-frame graph can fuse differently on TPU, and the
+        resulting ~1e-6 logit reorderings flip argmax only on boundary
+        near-ties — the same drift class as cross-framework parity.) The LT-gap clock lives in device state, so conditional
         long-term writes happen inside the scan; with the 'grow' policy the
         caller must pre-grow capacity for the whole chunk
         (`ensure_lt_capacity`, schedule known host-side via `LTShadow`).

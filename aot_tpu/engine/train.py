@@ -42,6 +42,7 @@ def build_train_engine(model, cfg) -> "TrainEngine":
         top_k_percent=cfg.TRAIN_TOP_K_PERCENT_PIXELS,
         hard_mining_ratio=cfg.TRAIN_HARD_MINING_RATIO,
         remat=cfg.get("TRAIN_REMAT", True),
+        remat_policy=cfg.get("TRAIN_REMAT_POLICY", "nothing"),
     )
 
 
@@ -51,7 +52,7 @@ class TrainEngine(VOSEngine):
     def __init__(self, *args, total_steps: int = 100_000,
                  aux_weight: float = 1.0, aux_ratio: float = 1.0,
                  top_k_percent: float = 0.15, hard_mining_ratio: float = 0.5,
-                 remat: bool = True, **kw):
+                 remat: bool = True, remat_policy: str = "nothing", **kw):
         super().__init__(*args, **kw)
         self.total_steps = total_steps
         self.aux_weight = aux_weight
@@ -59,6 +60,7 @@ class TrainEngine(VOSEngine):
         self.top_k_percent = top_k_percent
         self.hard_mining_step = hard_mining_ratio * total_steps + 1e-5
         self.remat = remat
+        self.remat_policy = remat_policy
 
     # --- helpers ---------------------------------------------------------
     def _shuffled_one_hot(self, mask, shuffle_matrix):
@@ -213,8 +215,15 @@ class TrainEngine(VOSEngine):
 
         # rematerialise per-frame propagation in the backward pass: without
         # it the 4-frame unrolled activations overflow HBM at batch >= 8
-        # (trades ~1 extra forward for O(T) -> O(1) activation memory)
-        scan_body = jax.checkpoint(body) if self.remat else body
+        # (trades ~1 extra forward for O(T) -> O(1) activation memory).
+        # 'dots' keeps matmul/conv outputs resident (recomputes only the
+        # cheap elementwise ops) — more HBM than full remat, less recompute.
+        if self.remat:
+            pol = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                   if self.remat_policy == "dots" else None)
+            scan_body = jax.checkpoint(body, policy=pol)
+        else:
+            scan_body = body
 
         init_pred = jnp.zeros((b,) + input_size, jnp.int32)
         (state, last_pred), (frame_losses, _) = jax.lax.scan(

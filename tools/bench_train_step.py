@@ -33,6 +33,10 @@ def main():
     p.add_argument("--no_remat", action="store_true",
                    help="disable jax.checkpoint on the propagation scan "
                         "body (needs the activations to fit HBM)")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots"],
+                   help="TRAIN_REMAT_POLICY: what the scan-body checkpoint "
+                        "keeps resident")
     args = p.parse_args()
 
     from aot_tpu.configs import build_config
@@ -43,6 +47,7 @@ def main():
 
     cfg = build_config(stage="pre", model=args.model, exp_name="bench",
                        make_dirs=False,
+                       TRAIN_REMAT_POLICY=args.remat_policy,
                        **({"TRAIN_REMAT": False} if args.no_remat else {}))
     setup_runtime(matmul_precision=cfg.TRAIN_MATMUL_PRECISION)
     model = build_vos_model(cfg)

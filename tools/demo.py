@@ -18,6 +18,10 @@ def main():
     parser.add_argument("--output_path", type=str, default="./demo_output")
     parser.add_argument("--max_resolution", type=float, default=480)
     parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--frame_chunk", type=int, default=1,
+                        help=">1 = step K frames per device dispatch "
+                             "(on-device mask feedback; masks identical "
+                             "to per-frame stepping)")
     parser.add_argument("--no_video", action="store_true")
     args = parser.parse_args()
 
@@ -70,6 +74,19 @@ def main():
 
     step = jax.jit(_step, static_argnames=("output_size",), donate_argnums=(1,))
 
+    # chunked stepping: decode at input size with identity nearest-resample
+    # (orig_size == input_size), so memory updates are bit-identical to the
+    # per-frame `eng.step` path; the full-resolution nearest upscale runs
+    # on-device for the whole chunk in one extra dispatch
+    step_chunk = jax.jit(
+        lambda p, s, f, size: eng.step_chunk(p, s, f, size, size),
+        static_argnames=("size",))
+    up_chunk = jax.jit(
+        lambda pr, size: interpolate_nearest(
+            pr[:, 0, :, :, None].astype(jnp.float32),
+            size)[..., 0].astype(jnp.uint8),
+        static_argnames=("size",))
+
     for si in range(len(dataset)):
         seq = dataset[si]
         print(f"sequence {seq.seq_name}: {len(seq)} frames")
@@ -80,38 +97,66 @@ def main():
         t0 = time.perf_counter()
         n_stepped = 0
         state = None
-        for fi in range(len(seq)):
-            sample = seq[fi]
-            image, label, meta = sample["image"], sample["label"], sample["meta"]
-            variants = multi_restrict_size(
-                image, label, multi_scale=[1.0],
+
+        def prep(sample):
+            v = multi_restrict_size(
+                sample["image"], sample["label"], multi_scale=[1.0],
                 max_long_edge=args.max_resolution * 800 / 480,
-                align_corners=cfg.MODEL_ALIGN_CORNERS)
-            v = variants[0]
-            img_d = jnp.asarray(v["image"][None])
-            in_size = v["image"].shape[:2]
+                align_corners=cfg.MODEL_ALIGN_CORNERS)[0]
+            return v["image"], v["image"].shape[:2]
+
+        def emit(pred_np, sample):
+            name = (os.path.splitext(sample["meta"]["current_name"])[0]
+                    + ".png")
+            writes.append(save_mask_async(pred_np,
+                                          os.path.join(out_mask_dir, name)))
+            if not args.no_video:
+                image = sample["image"]
+                overlay = masked_image(
+                    image / 255.0, label2colormap(pred_np) / 255.0, pred_np)
+                video_frames.append((overlay * 255).astype(np.uint8))
+
+        fi = 0
+        while fi < len(seq):
+            sample = seq[fi]
+            image, label = sample["image"], sample["label"]
+            small, in_size = prep(sample)
             if fi == 0:
                 lab = np.asarray(label, np.int32)[None]
                 lab_small = interpolate_nearest(
                     jnp.asarray(lab, jnp.float32)[..., None],
                     in_size)[..., 0].astype(jnp.int32)
                 obj_num = int(label.max())
-                state = add_ref(params, img_d, lab_small, obj_num)
-                pred_np = np.asarray(label, np.uint8)
-            else:
-                state, pred, _ = step(params, state, img_d, tuple(in_size))
-                pred_big = interpolate_nearest(
-                    pred[..., None].astype(jnp.float32),
-                    image.shape[:2])[..., 0].astype(jnp.int32)
-                pred_np = np.asarray(jax.device_get(pred_big))[0].astype(np.uint8)
-                n_stepped += 1
-            name = os.path.splitext(meta["current_name"])[0] + ".png"
-            writes.append(save_mask_async(pred_np,
-                                          os.path.join(out_mask_dir, name)))
-            if not args.no_video:
-                overlay = masked_image(
-                    image / 255.0, label2colormap(pred_np) / 255.0, pred_np)
-                video_frames.append((overlay * 255).astype(np.uint8))
+                state = add_ref(params, jnp.asarray(small[None]), lab_small,
+                                obj_num)
+                emit(np.asarray(label, np.uint8), sample)
+                fi += 1
+                continue
+            remaining = len(seq) - fi
+            k = 1 << (min(max(args.frame_chunk, 1), remaining)
+                      .bit_length() - 1)
+            if k >= 2:
+                samples = [sample] + [seq[fi + j] for j in range(1, k)]
+                smalls = [small] + [prep(s)[0] for s in samples[1:]]
+                imgs = np.stack([s[None] for s in smalls])
+                state, preds = step_chunk(params, state, jnp.asarray(imgs),
+                                          tuple(in_size))
+                big = up_chunk(preds, tuple(image.shape[:2]))
+                big_np = np.asarray(jax.device_get(big))
+                for j, s in enumerate(samples):
+                    emit(big_np[j], s)
+                n_stepped += k
+                fi += k
+                continue
+            state, pred, _ = step(params, state, jnp.asarray(small[None]),
+                                  tuple(in_size))
+            pred_big = interpolate_nearest(
+                pred[..., None].astype(jnp.float32),
+                image.shape[:2])[..., 0].astype(jnp.int32)
+            pred_np = np.asarray(jax.device_get(pred_big))[0].astype(np.uint8)
+            n_stepped += 1
+            emit(pred_np, sample)
+            fi += 1
         dt = time.perf_counter() - t0
         for t in writes:
             t.join()
