@@ -146,7 +146,7 @@ def main():
     # device with mask feedback, K uint8 masks read back once — a real
     # end-to-end measurement of offline-eval throughput that amortises the
     # tunnel's per-dispatch latency without the device-limit projection.
-    chunk_k = int(os.environ.get("BENCH_CHUNK", "16"))
+    chunk_k = int(os.environ.get("BENCH_CHUNK", "32"))
     chunk_fn = jax.jit(lambda p, s, f: eng.step_chunk(
         p, s, f, orig_size=(H, W), input_size=(H, W)))
     reps_c = max(1, n_frames // chunk_k)
