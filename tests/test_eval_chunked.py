@@ -63,11 +63,12 @@ class _Seq:
         }
 
 
-def _run(tmp_path, chunk, seq, lt_gap=2, lt_cap=2, tag=""):
+def _run(tmp_path, chunk, seq, lt_gap=2, lt_cap=2, tag="", flip=False):
     cfg = build_config(stage="pre", model="aott", TEST_DATASET="test",
                        TEST_FRAME_CHUNK=chunk,
                        TEST_LONG_TERM_MEM_GAP=lt_gap,
-                       TEST_LONG_TERM_MEM_CAP=lt_cap)
+                       TEST_LONG_TERM_MEM_CAP=lt_cap,
+                       TEST_FLIP=flip)
     cfg.TEST_MULTISCALE = [1.0]
     model = build_vos_model(cfg, eval_mode=True)
     h = w = seq.size
@@ -93,6 +94,17 @@ def test_chunked_matches_per_frame(tmp_path):
     must be byte-identical to per-frame stepping."""
     a = _run(tmp_path, 1, _Seq())
     b = _run(tmp_path, 4, _Seq())
+    assert a.keys() == b.keys() and len(a) == 10
+    for f in a:
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
+def test_tta_bypasses_chunking(tmp_path):
+    """TEST_FRAME_CHUNK is single-variant-only: with flip TTA enabled the
+    evaluator must silently take the scalar multi-variant path and produce
+    the same masks whatever the chunk setting."""
+    a = _run(tmp_path, 1, _Seq(mid_label_at=None), tag="f1", flip=True)
+    b = _run(tmp_path, 8, _Seq(mid_label_at=None), tag="f8", flip=True)
     assert a.keys() == b.keys() and len(a) == 10
     for f in a:
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
