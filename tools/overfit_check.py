@@ -48,6 +48,11 @@ def main():
                     help="sample K batches from the pipeline, save to "
                          "--dump_batch path, and exit")
     ap.add_argument("--jsonl", default="", help="also append metrics here")
+    ap.add_argument("--init_pth", default="",
+                    help="torch state_dict to initialise from (converted "
+                         "via utils/torch_import) — pairs with "
+                         "overfit_ref.py --dump_init for a SAME-INIT "
+                         "convergence A/B")
     args = ap.parse_args()
 
     import jax
@@ -126,6 +131,26 @@ def main():
         return
 
     trainer = Trainer(cfg)
+    if args.init_pth:
+        # Same-init A/B: start from the torch twin's exact init weights so
+        # any curve divergence is training DYNAMICS, not init RNG.
+        import torch
+        from aot_tpu.parallel import replicate
+        from aot_tpu.train import ema as ema_lib
+        from aot_tpu.utils.torch_import import convert_state_dict
+        sd = torch.load(args.init_pth, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        params, missing, unexpected = convert_state_dict(
+            sd, jax.device_get(trainer.state.params), cfg)
+        if missing:
+            raise SystemExit(f"init_pth missing keys: {missing[:8]}")
+        params = replicate(trainer.mesh, params)
+        trainer.state = trainer.state.replace(
+            params=params,
+            ema=(ema_lib.ema_init(params)
+                 if trainer.state.ema is not None else None))
+        print(json.dumps({"init_pth": args.init_pth,
+                          "unexpected": len(unexpected)}), flush=True)
     if args.no_id_shuffle:
         from aot_tpu.train.step import make_train_step, shard_train_step
         trainer.train_step = shard_train_step(

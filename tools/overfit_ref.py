@@ -36,6 +36,12 @@ def main():
                          "cycled batches[step %% K] — must match "
                          "overfit_check.py --stream_npz")
     ap.add_argument("--jsonl", default="", help="also append metrics here")
+    ap.add_argument("--dump_init", default="",
+                    help="save the freshly-initialised state_dict here "
+                         "(for a SAME-INIT A/B via overfit_check.py "
+                         "--init_pth), then continue training")
+    ap.add_argument("--load_init", default="",
+                    help="load this state_dict before training")
     args = ap.parse_args()
 
     import numpy as np
@@ -78,6 +84,12 @@ def main():
         cfg.TRAIN_LSTT_DROPPATH = 0.0
 
     model = ref_models.build_vos_model(cfg.MODEL_VOS, cfg)
+    if args.load_init:
+        model.load_state_dict(torch.load(args.load_init,
+                                         map_location="cpu"))
+    if args.dump_init:
+        torch.save(model.state_dict(), args.dump_init)
+        print(json.dumps({"dumped_init": args.dump_init}), flush=True)
     engine = ref_build_engine(
         cfg.MODEL_ENGINE, "train", aot_model=model, gpu_id=-1,
         long_term_mem_gap=cfg.TRAIN_LONG_TERM_MEM_GAP)
