@@ -53,9 +53,15 @@ def main():
                          "via utils/torch_import) — pairs with "
                          "overfit_ref.py --dump_init for a SAME-INIT "
                          "convergence A/B")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (JAX_PLATFORMS env is not "
+                         "enough under the axon plugin — the config key "
+                         "is; same math, for tunnel-down A/B runs)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from aot_tpu.configs import build_config
@@ -134,12 +140,11 @@ def main():
     if args.init_pth:
         # Same-init A/B: start from the torch twin's exact init weights so
         # any curve divergence is training DYNAMICS, not init RNG.
-        import torch
         from aot_tpu.parallel import replicate
         from aot_tpu.train import ema as ema_lib
-        from aot_tpu.utils.torch_import import convert_state_dict
-        sd = torch.load(args.init_pth, map_location="cpu")
-        sd = sd.get("state_dict", sd)
+        from aot_tpu.utils.torch_import import (convert_state_dict,
+                                                load_state_dict)
+        sd = load_state_dict(args.init_pth)  # numpy-valued, 'module.'-free
         params, missing, unexpected = convert_state_dict(
             sd, jax.device_get(trainer.state.params), cfg)
         if missing:
