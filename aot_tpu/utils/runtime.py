@@ -14,6 +14,14 @@ def setup_runtime(matmul_precision: str | None = None,
                   cache_dir: str | None = None) -> None:
     import jax
 
+    # AOT_TPU_BACKEND=cpu pins the platform via jax.config (the env var
+    # JAX_PLATFORMS=cpu is NOT equivalent here: the axon TPU plugin's
+    # backend hook still dials the tunnel under it and blocks forever when
+    # the tunnel is down, while the config route skips it entirely).
+    backend = os.environ.get("AOT_TPU_BACKEND")
+    if backend:
+        jax.config.update("jax_platforms", backend)
+
     cache_dir = cache_dir or os.environ.get(
         "AOT_TPU_CACHE", os.path.expanduser("~/.cache/aot_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)

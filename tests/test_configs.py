@@ -1,3 +1,5 @@
+import os
+
 from aot_tpu.configs import MODEL_REGISTRY, build_config
 
 
@@ -61,3 +63,31 @@ def test_stage_chain_points_at_ema_dir():
     assert cfg.PRETRAIN_FULL
     assert os.path.basename(cfg.PRETRAIN_MODEL) == "ema_ckpt"
     assert os.path.join("chainx_AOTT", "PRE", "ema_ckpt") in cfg.PRETRAIN_MODEL
+
+
+def test_eval_cli_flag_overrides():
+    """--amp/--lstt_num/--max_id_num map to config keys the way the
+    reference CLI does (reference tools/eval.py:34,37,57,72-80)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from eval import build_overrides, build_parser
+
+    parser = build_parser()
+
+    args = parser.parse_args(["--amp"])
+    over = build_overrides(args)
+    assert over["TEST_DTYPE"] == "bfloat16"
+    cfg = build_config(stage="pre", model="aott", **over)
+    assert cfg.TEST_DTYPE == "bfloat16"
+
+    args = parser.parse_args(["--lstt_num", "2", "--max_id_num", "5"])
+    over = build_overrides(args)
+    cfg = build_config(stage="pre", model="aotb", **over)
+    assert cfg.MODEL_LSTT_NUM == 2      # aotb default is 3
+    assert cfg.MODEL_MAX_OBJ_NUM == 5   # default is 10
+
+    # defaults leave the model keys untouched
+    over = build_overrides(parser.parse_args([]))
+    assert "MODEL_LSTT_NUM" not in over and "MODEL_MAX_OBJ_NUM" not in over
+    assert "TEST_DTYPE" not in over

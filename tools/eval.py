@@ -7,7 +7,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def build_parser():
     parser = argparse.ArgumentParser(description="Eval VOS (TPU)")
     parser.add_argument("--exp_name", type=str, default="default")
     parser.add_argument("--stage", type=str, default="pre_ytb_dav")
@@ -38,10 +38,12 @@ def main():
     parser.add_argument("--mem_cap", type=int, default=-1)
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world", type=int, default=1)
-    args = parser.parse_args()
+    return parser
 
-    from aot_tpu.configs import build_config
 
+def build_overrides(args):
+    """Map CLI flags to config overrides (reference: tools/eval.py:57-99 —
+    autocast/--amp, --lstt_num, --max_id_num, flip/ms/resolution knobs)."""
     over = {}
     if args.dataset:
         over["TEST_DATASET"] = args.dataset
@@ -69,7 +71,15 @@ def main():
     if args.mem_cap > 0:
         over["TEST_LONG_TERM_MEM_CAP"] = args.mem_cap
     over["TEST_MAX_LONG_EDGE"] = args.max_resolution * 800 / 480
+    return over
 
+
+def main():
+    args = build_parser().parse_args()
+
+    from aot_tpu.configs import build_config
+
+    over = build_overrides(args)
     cfg = build_config(stage=args.stage, model=args.model,
                        exp_name=args.exp_name, make_dirs=True, **over)
 
