@@ -22,6 +22,10 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # --- data ---
     DATASETS=["youtubevos"],
     DATA_WORKERS=8,
+    # static-image aug backend: 'auto' = fused C++ kernels when
+    # aot_tpu/native/augkit.cpp builds, 'pil' = reference-shaped PIL chain,
+    # 'native' = fail loudly if the library is unavailable
+    DATA_AUG_BACKEND="auto",
     DATA_RANDOMCROP=(465, 465),  # (464, 464) when MODEL_ALIGN_CORNERS=False
     DATA_RANDOMFLIP=0.5,
     DATA_MAX_CROP_STEPS=10,
@@ -192,19 +196,26 @@ class Config:
         return f"Config(\n  {body}\n)"
 
     # directory materialisation (reference: configs/default.py:109-138) -----
-    def init_dir(self, make: bool = True) -> "Config":
-        self.DIR_DAVIS = os.path.join(self.DIR_DATA, "DAVIS")
-        self.DIR_YTB = os.path.join(self.DIR_DATA, "YTB")
-        self.DIR_STATIC = os.path.join(self.DIR_DATA, "Static")
-        self.DIR_RESULT = os.path.join(
-            self.DIR_ROOT, "result", self.EXP_NAME, self.STAGE_NAME
-        )
-        self.DIR_CKPT = os.path.join(self.DIR_RESULT, "ckpt")
-        self.DIR_EMA_CKPT = os.path.join(self.DIR_RESULT, "ema_ckpt")
-        self.DIR_LOG = os.path.join(self.DIR_RESULT, "log")
-        self.DIR_TB_LOG = os.path.join(self.DIR_RESULT, "log", "tensorboard")
-        self.DIR_IMG_LOG = os.path.join(self.DIR_RESULT, "log", "img")
-        self.DIR_EVALUATION = os.path.join(self.DIR_ROOT, "results")
+    def init_dir(self, make: bool = True, keep=()) -> "Config":
+        """Derive data/result directories. Keys in `keep` (explicit
+        build_config overrides) are NOT rederived — an explicit
+        DIR_STATIC/DIR_DAVIS/... override must win over the DIR_DATA
+        derivation."""
+        def setd(key, val):
+            if key not in keep:
+                setattr(self, key, val)
+
+        setd("DIR_DAVIS", os.path.join(self.DIR_DATA, "DAVIS"))
+        setd("DIR_YTB", os.path.join(self.DIR_DATA, "YTB"))
+        setd("DIR_STATIC", os.path.join(self.DIR_DATA, "Static"))
+        setd("DIR_RESULT", os.path.join(
+            self.DIR_ROOT, "result", self.EXP_NAME, self.STAGE_NAME))
+        setd("DIR_CKPT", os.path.join(self.DIR_RESULT, "ckpt"))
+        setd("DIR_EMA_CKPT", os.path.join(self.DIR_RESULT, "ema_ckpt"))
+        setd("DIR_LOG", os.path.join(self.DIR_RESULT, "log"))
+        setd("DIR_TB_LOG", os.path.join(self.DIR_RESULT, "log", "tensorboard"))
+        setd("DIR_IMG_LOG", os.path.join(self.DIR_RESULT, "log", "img"))
+        setd("DIR_EVALUATION", os.path.join(self.DIR_ROOT, "results"))
         if make:
             for path in (
                 self.DIR_RESULT,
@@ -264,5 +275,5 @@ def build_config(
         cfg.DATA_RANDOMCROP = (464, 464)
 
     cfg.update(overrides)
-    cfg.init_dir(make=make_dirs)
+    cfg.init_dir(make=make_dirs, keep=frozenset(overrides))
     return cfg

@@ -60,8 +60,9 @@ class RandomAffine:
         self.resample = resample
         self.fillcolor = fillcolor
 
-    def __call__(self, img: Image.Image, mask: Image.Image):
-        w, h = img.size
+    def sample_matrix(self, w: int, h: int):
+        """Sample affine params and return the 2x3 inverse (output->input)
+        map — shared by the PIL path and the native fused-warp path."""
         angle = random.uniform(*self.degrees)
         if self.translate is not None:
             max_dx, max_dy = self.translate[0] * w, self.translate[1] * h
@@ -72,9 +73,12 @@ class RandomAffine:
         scale = random.uniform(*self.scale) if self.scale else 1.0
         shear = [random.uniform(self.shear[0], self.shear[1]),
                  random.uniform(self.shear[2], self.shear[3])]
-
         center = (w * 0.5, h * 0.5)
-        m = _inv_affine_matrix(center, angle, translate, scale, shear)
+        return _inv_affine_matrix(center, angle, translate, scale, shear)
+
+    def __call__(self, img: Image.Image, mask: Image.Image):
+        w, h = img.size
+        m = self.sample_matrix(w, h)
         img = img.transform((w, h), Image.AFFINE, m, self.resample,
                             fillcolor=self.fillcolor)
         mask = mask.transform((w, h), Image.AFFINE, m, Image.NEAREST,
@@ -147,26 +151,36 @@ class ColorJitter:
         h = Image.fromarray(arr.astype(np.uint8), "L")
         return Image.merge("HSV", (h, s, v)).convert("RGB")
 
-    def __call__(self, img: Image.Image) -> Image.Image:
-        # NB: factors are bound as default args — a plain closure over `f`
-        # would late-bind every op to the LAST factor (the tiny hue shift),
-        # making enhance(~0) blank the image.
+    def sample_ops(self):
+        """Sample (name, factor) pairs in a random application order —
+        shared by the PIL path and the native single-pass path."""
         ops = []
         if self.brightness > 0:
-            f = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+            ops.append(("brightness", random.uniform(
+                max(0, 1 - self.brightness), 1 + self.brightness)))
         if self.contrast > 0:
-            f = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+            ops.append(("contrast", random.uniform(
+                max(0, 1 - self.contrast), 1 + self.contrast)))
         if self.saturation > 0:
-            f = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+            ops.append(("saturation", random.uniform(
+                max(0, 1 - self.saturation), 1 + self.saturation)))
         if self.hue > 0:
-            f = random.uniform(-self.hue, self.hue)
-            ops.append(lambda im, f=f: self._hue_shift(im, f))
+            ops.append(("hue", random.uniform(-self.hue, self.hue)))
         random.shuffle(ops)
-        for op in ops:
-            img = op(img)
+        return ops
+
+    _PIL_OPS = {
+        "brightness": lambda im, f: ImageEnhance.Brightness(im).enhance(f),
+        "contrast": lambda im, f: ImageEnhance.Contrast(im).enhance(f),
+        "saturation": lambda im, f: ImageEnhance.Color(im).enhance(f),
+    }
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        for name, f in self.sample_ops():
+            if name == "hue":
+                img = self._hue_shift(img, f)
+            else:
+                img = self._PIL_OPS[name](img, f)
         return img
 
 
@@ -209,6 +223,9 @@ def to_onehot_relabel(mask: np.ndarray, max_obj_n: int, shuffle: bool,
         if shuffle:
             random.shuffle(obj_list)
         obj_list = obj_list[:max_obj_n]
+    from aot_tpu import native
+    if native.available():
+        return native.relabel(mask, obj_list), obj_list
     out = np.zeros_like(mask, np.uint8)
     for new_id, obj in enumerate(obj_list, start=1):
         out[mask == obj] = new_id

