@@ -149,13 +149,62 @@ class _PerFramePIL:
         return dict(clip, frames=frames)
 
 
+class _NativeJitterClip:
+    """Per-frame RandomApply(ColorJitter) via the C++ single-pass kernels
+    (same per-frame sampling as the PIL path: fresh factors every frame)."""
+
+    def __init__(self, p, jitter):
+        self.p = p
+        self.jitter = jitter
+
+    def __call__(self, clip: Clip) -> Clip:
+        import random
+
+        from aot_tpu import native
+
+        frames = []
+        for f in clip["frames"]:
+            if random.random() < self.p:
+                img = np.ascontiguousarray(np.clip(f, 0, 255), np.uint8)
+                for name, fac in self.jitter.sample_ops():
+                    getattr(native, name)(img, fac)
+                f = np.asarray(img, np.float32)
+            frames.append(f)
+        return dict(clip, frames=frames)
+
+
+class _NativeGrayClip:
+    def __init__(self, p):
+        self.p = p
+
+    def __call__(self, clip: Clip) -> Clip:
+        import random
+
+        from aot_tpu import native
+
+        frames = []
+        for f in clip["frames"]:
+            if random.random() < self.p:
+                img = np.ascontiguousarray(np.clip(f, 0, 255), np.uint8)
+                native.grayscale(img)
+                f = np.asarray(img, np.float32)
+            frames.append(f)
+        return dict(clip, frames=frames)
+
+
 def RandomColorJitterClip(p=0.8, brightness=0.4, contrast=0.4,
                           saturation=0.2, hue=0.1):
-    return _PerFramePIL(IA.RandomApply(
-        IA.ColorJitter(brightness, contrast, saturation, hue), p))
+    from aot_tpu import native
+    jit = IA.ColorJitter(brightness, contrast, saturation, hue)
+    if native.available():
+        return _NativeJitterClip(p, jit)
+    return _PerFramePIL(IA.RandomApply(jit, p))
 
 
 def RandomGrayScaleClip(p=0.2):
+    from aot_tpu import native
+    if native.available():
+        return _NativeGrayClip(p)
     return _PerFramePIL(IA.RandomGrayscale(p))
 
 

@@ -106,6 +106,34 @@ def test_relabel_matches_loop():
     assert np.array_equal(ours, ref)
 
 
+def test_native_jitter_clip_contract():
+    """v2 video-aug jitter/gray via the native kernels keeps the clip
+    contract: float32 frames, labels untouched, content preserved."""
+    from aot_tpu.data.video_aug import (RandomColorJitterClip,
+                                        RandomGrayScaleClip)
+
+    rng = np.random.RandomState(7)
+    clip = {
+        "frames": [rng.rand(40, 50, 3).astype(np.float32) * 255
+                   for _ in range(3)],
+        "labels": [np.zeros((40, 50), np.uint8) for _ in range(3)],
+    }
+    jit = RandomColorJitterClip(p=1.0)
+    out = jit(dict(clip))
+    assert all(f.dtype == np.float32 and f.shape == (40, 50, 3)
+               for f in out["frames"])
+    assert out["labels"] is clip["labels"] or out["labels"] == clip["labels"]
+    # p=1 with nonzero factors: frames actually changed
+    assert any(not np.allclose(a, b)
+               for a, b in zip(out["frames"], clip["frames"]))
+
+    gray = RandomGrayScaleClip(p=1.0)
+    out2 = gray(dict(clip))
+    for f in out2["frames"]:
+        assert np.array_equal(f[..., 0], f[..., 1])
+        assert np.array_equal(f[..., 1], f[..., 2])
+
+
 def test_static_train_native_end_to_end(tmp_path):
     """Native-backend StaticTrain yields content-bearing frames and
     consistent labels, same contract as the PIL backend."""
