@@ -335,11 +335,21 @@ def local_attention(
     gate_from: Optional[jax.Array] = None,
 ) -> jax.Array:
     if _TRAINING_TRACE:
-        # differentiated traces: the gather-free window formulation — the
-        # dense/banded paths' take_along_axis backward is a serialised
+        # differentiated traces on TPU: the gather-free window formulation —
+        # the dense/banded paths' take_along_axis backward is a serialised
         # scatter-add (74 ms fwd / 161 ms bwd at batch-8 training shapes vs
-        # ~3 ms window-format; see local_attention_window)
-        return local_attention_window(
+        # ~3 ms window-format; see local_attention_window). On CPU
+        # (tests, the driver's virtual-mesh dryrun) the 2x(2*max_dis+1)
+        # unrolled banded einsums are pure compile-time cost with no
+        # scatter-add to avoid at oracle scale — take the dense path when
+        # it fits; the two are numerically identical.
+        if (jax.default_backend() == "tpu"
+                or size_2d[0] * size_2d[1] > _DENSE_LOCAL_MAX_TOKENS):
+            return local_attention_window(
+                q, k, v, rel_bias, rel_v, num_heads=num_heads,
+                size_2d=size_2d, max_dis=max_dis, dilation=dilation,
+                d_att=d_att)
+        return _local_attention_dense(
             q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
             max_dis=max_dis, dilation=dilation, d_att=d_att)
     if size_2d[0] * size_2d[1] > _DENSE_LOCAL_MAX_TOKENS and dilation == 1:
