@@ -134,6 +134,16 @@ ENGINE_DEFAULTS: Dict[str, Any] = dict(
     # reference steps strictly frame-by-frame with a per-frame device sync
     # (evaluator.py:408 region).
     TEST_FRAME_CHUNK=1,
+    # Batched multi-video serving (engine.step_videos): N independent
+    # videos share the engine's batch axis, one dispatch advancing all of
+    # them a frame — converts idle MXU into aggregate throughput (the
+    # TPU-native form of the reference's multi-GPU eval queue,
+    # evaluator.py:216-235). Applies to single-variant hard-label eval of
+    # videos whose objects all appear in frame 0 (DAVIS-style); videos
+    # with mid-stream arrivals or >MAX_OBJ_NUM objects take the scalar
+    # path. Masks are identical to per-video stepping (rows of the batch
+    # never interact; tests/test_video_batch.py).
+    TEST_VIDEO_BATCH=1,
     # Rematerialisation of the per-frame propagation scan body. True is
     # required for batch >= 8 at 465 crops on 16 GB HBM (activations for
     # the 4 propagated frames OOM otherwise). TRAIN_REMAT_POLICY: 'nothing'

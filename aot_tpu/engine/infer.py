@@ -258,6 +258,56 @@ class VOSInferEngine:
         state = self.update_memory(params, state, pred)
         return state, pred, logits
 
+    # --- batched multi-video serving ------------------------------------
+    # N independent videos stepped in ONE dispatch: the engine's batch axis
+    # carries videos instead of object groups (each video <= max_obj_num
+    # objects, i.e. exactly one group). decode_logits already masks unused
+    # ids per batch row via state.obj_nums, and every memory/attention op
+    # treats rows independently, so no aggregation is involved. This is the
+    # TPU-native answer to the reference's multi-GPU eval queue
+    # (evaluator.py:216-235): instead of one video per device process, N
+    # videos share one chip's idle MXU.
+
+    def add_reference_frames_videos(
+        self,
+        params,
+        imgs: jax.Array,       # (N, H, W, 3)
+        masks: jax.Array,      # (N, H, W) int, ids 1..obj_num per video
+        obj_nums,              # (N,) ints, each <= max_obj_num
+    ) -> S.EngineState:
+        obj_nums = jnp.asarray(obj_nums, jnp.int32)
+        xs = self.engine.encode_image(params, imgs)
+        return self.engine.add_reference_frame(
+            params, None, masks, obj_nums, img_embs=xs)
+
+    def step_videos(
+        self,
+        params,
+        state: S.EngineState,
+        imgs: jax.Array,       # (N, h, w, 3) at input (snapped) size
+        orig_size: Tuple[int, int],
+        input_size: Optional[Tuple[int, int]] = None,
+    ):
+        """Fused per-frame step over N videos: propagate -> decode at the
+        ORIGINAL resolution -> argmax -> (nearest-down to input size) ->
+        update_memory, all rows in one dispatch — per row exactly the
+        Evaluator's scalar cadence. Ragged lengths batch by replaying a
+        finished video's last frame and discarding its outputs — rows never
+        interact, so dead rows cannot corrupt live ones.
+        Returns (state, preds (N, H, W) int32 at orig_size)."""
+        xs = self.engine.encode_image(params, imgs)
+        state = self.engine.propagate(params, state, None, img_embs=xs)
+        logits = self.engine.decode_logits(params, state,
+                                           output_size=orig_size)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (N, H, W)
+        lab = pred
+        if input_size is not None and tuple(input_size) != tuple(orig_size):
+            lab = interpolate_nearest(
+                pred[..., None].astype(jnp.float32), input_size)
+            lab = lab[..., 0].astype(jnp.int32)
+        state = self.engine.update_memory(params, state, mask=lab)
+        return state, pred
+
     def step_chunk(
         self,
         params,

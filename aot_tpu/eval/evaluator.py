@@ -142,6 +142,136 @@ class Evaluator:
 
         return jax.jit(fn, static_argnames=("input_size",))
 
+    def _emit_mask(self, seq, result_dir, pending_writes,
+                   mask_np: np.ndarray, meta: Dict) -> None:
+        fname = os.path.splitext(meta["current_name"])[0] + ".png"
+        out_path = os.path.join(result_dir, fname)
+        squeeze_idx = meta.get("obj_idx")
+        pending_writes.append(
+            save_mask_async(mask_np.astype(np.uint8), out_path,
+                            list(squeeze_idx) if squeeze_idx else None))
+        # dense (all-frames) eval also exports the sparse 6fps subset
+        # for the submission server (reference: evaluator.py:457-477)
+        images_sparse = getattr(seq, "images_sparse", None)
+        if images_sparse and meta["current_name"] in images_sparse:
+            sparse_dir = (self.result_root or ".").rstrip("/") + "_sparse"
+            os.makedirs(os.path.join(sparse_dir, seq.seq_name),
+                        exist_ok=True)
+            pending_writes.append(save_mask_async(
+                mask_np.astype(np.uint8),
+                os.path.join(sparse_dir, seq.seq_name, fname),
+                list(squeeze_idx) if squeeze_idx else None))
+
+    # --- batched multi-video serving --------------------------------------
+    def _batchable(self, seq) -> bool:
+        """Eligible for step_videos: single-variant hard-label eval and all
+        objects annotated at frame 0 (mid-stream arrivals re-reference one
+        video while others propagate — those take the scalar path)."""
+        cfg = self.cfg
+        if (len(cfg.TEST_MULTISCALE) != 1 or cfg.TEST_FLIP
+                or cfg.MODEL_USE_PREV_PROB):
+            return False
+        labels = list(getattr(seq, "labels", ()))
+        return (len(labels) == 1 and
+                os.path.splitext(seq.images[0])[0] + ".png" in labels)
+
+    def eval_sequences_batched(self, seqs) -> List[Dict]:
+        """Advance N videos one frame per dispatch (engine.step_videos).
+        All must share the same original and snapped input size (the caller
+        buckets); ragged lengths replay the last frame of finished videos
+        and discard those outputs. Per video the masks are identical to
+        eval_sequence's scalar path (tests/test_video_batch.py)."""
+        cfg = self.cfg
+        params = self.params
+        n = len(seqs)
+        scales = list(cfg.TEST_MULTISCALE)
+
+        def snap(image, label=None):
+            return multi_restrict_size(
+                image, label, multi_scale=scales, flip=False,
+                max_short_edge=cfg.TEST_MAX_SHORT_EDGE,
+                max_long_edge=cfg.TEST_MAX_LONG_EDGE,
+                align_corners=cfg.MODEL_ALIGN_CORNERS)[0]
+
+        firsts = [seq[0] for seq in seqs]
+        metas = [s["meta"] for s in firsts]
+        orig_size = (metas[0]["height"], metas[0]["width"])
+        v0 = [snap(s["image"]) for s in firsts]
+        input_size = v0[0]["image"].shape[:2]
+        assert all((m["height"], m["width"]) == orig_size for m in metas)
+        assert all(v["image"].shape[:2] == input_size for v in v0)
+
+        result_dirs = []
+        for seq in seqs:
+            d = os.path.join(self.result_root or ".", seq.seq_name)
+            os.makedirs(d, exist_ok=True)
+            result_dirs.append(d)
+        pending_writes: List = []
+
+        obj_nums = [int(m["obj_num"]) for m in metas]
+        imgs0 = jnp.asarray(np.stack([v["image"] for v in v0]))
+        labels0 = jnp.asarray(
+            np.stack([s["label"] for s in firsts]).astype(np.int32))
+
+        add_refs = self._fn(
+            "add_refs_videos", n, tuple(obj_nums), tuple(input_size),
+            builder=lambda: jax.jit(
+                lambda p, i, l: self.engine.add_reference_frames_videos(
+                    p, i,
+                    interpolate_nearest(
+                        l[..., None].astype(jnp.float32),
+                        input_size)[..., 0].astype(jnp.int32),
+                    obj_nums)))
+        state = add_refs(params, imgs0, labels0)
+        shadow = self.engine.make_shadow()
+        shadow.add_ref(0)
+
+        step_v = self._fn(
+            "step_videos", n, builder=lambda: jax.jit(
+                lambda p, s, i, orig, inp: self.engine.step_videos(
+                    p, s, i, orig_size=orig, input_size=inp),
+                static_argnames=("orig", "inp")))
+
+        lens = [len(seq) for seq in seqs]
+        frame_times = [[] for _ in range(n)]
+        last_imgs = [v["image"] for v in v0]
+        for t in range(1, max(lens)):
+            t0 = time.perf_counter()
+            batch, metas_t = [], {}
+            for vi, seq in enumerate(seqs):
+                if t < lens[vi]:
+                    sample = seq[t]
+                    last_imgs[vi] = snap(sample["image"])["image"]
+                    metas_t[vi] = sample["meta"]
+                batch.append(last_imgs[vi])
+            if shadow.will_write(t):
+                state = self.engine.ensure_lt_capacity(
+                    state, shadow.count + 1)
+            state, preds = step_v(params, state, jnp.asarray(np.stack(batch)),
+                                  tuple(orig_size), tuple(input_size))
+            shadow.update(t)
+            preds_np = np.asarray(
+                jax.device_get(preds.astype(jnp.uint8)))  # (N, H, W)
+            dt = time.perf_counter() - t0
+            for vi, meta in metas_t.items():
+                frame_times[vi].append(dt / max(1, len(metas_t)))
+                self._emit_mask(seqs[vi], result_dirs[vi], pending_writes,
+                                preds_np[vi], meta)
+
+        for th in pending_writes:
+            th.join()
+        stats = []
+        for vi, seq in enumerate(seqs):
+            total = sum(frame_times[vi]) or 1e-9
+            stats.append({
+                "seq_name": seq.seq_name,
+                "frames": lens[vi],
+                "timed_frames": len(frame_times[vi]),
+                "time": total,
+                "fps": len(frame_times[vi]) / total,
+            })
+        return stats
+
     # --- per-video loop ------------------------------------------------------
     def eval_sequence(self, seq) -> Dict:
         cfg = self.cfg
@@ -363,10 +493,39 @@ class Evaluator:
         dataset = build_eval_dataset(cfg, result_root=self.result_root)
         stats = []
         t_start = time.time()
-        for idx in range(len(dataset)):
-            if idx % self.world != self.rank:
-                continue
-            seq = dataset[idx]
+        my_seqs = [dataset[i] for i in range(len(dataset))
+                   if i % self.world == self.rank]
+
+        vb = int(cfg.get("TEST_VIDEO_BATCH", 1))
+        scalar_seqs = list(my_seqs)
+        if vb > 1:
+            # bucket batchable videos by (orig size, snapped input size);
+            # sort by length so ragged tails waste little compute
+            buckets: Dict[Tuple, List] = {}
+            scalar_seqs = []
+            max_obj = self.engine.max_obj_num
+            for seq in my_seqs:
+                obj0 = (seq.obj_nums[0]
+                        if getattr(seq, "obj_nums", None) else max_obj + 1)
+                if not (self._batchable(seq) and obj0 <= max_obj):
+                    scalar_seqs.append(seq)
+                    continue
+                m = seq[0]["meta"]
+                buckets.setdefault((m["height"], m["width"]), []).append(seq)
+            for key, group in buckets.items():
+                group.sort(key=len)
+                while group:
+                    chunk, group = group[:vb], group[vb:]
+                    if len(chunk) == 1:
+                        scalar_seqs.extend(chunk)
+                        continue
+                    for s in self.eval_sequences_batched(chunk):
+                        stats.append(s)
+                        print(f"[eval rank {self.rank}] {s['seq_name']}: "
+                              f"{s['timed_frames']} frames, "
+                              f"{s['fps']:.1f} FPS (batched x{len(chunk)})")
+
+        for seq in scalar_seqs:
             s = self.eval_sequence(seq)
             stats.append(s)
             print(f"[eval rank {self.rank}] {s['seq_name']}: "

@@ -141,6 +141,39 @@ def main():
     np.asarray(prs)  # one readback; the dstate chain serialises all reps
     device_ms = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
 
+    # batched multi-video serving (BENCH_VIDEO_BATCH=N): N independent
+    # videos stepped in one dispatch over the engine's batch axis —
+    # converts idle MXU into aggregate throughput (the TPU-native form of
+    # the reference's multi-GPU eval queue, evaluator.py:216-235).
+    # Scan-chained like the device-limit number; aggregate FPS = N/frame-ms.
+    video_batch = int(os.environ.get("BENCH_VIDEO_BATCH", "0"))
+    vb_fps = None
+    if video_batch > 1:
+        n_obj_vb = min(n_objects, 10)
+        vb_imgs = jnp.asarray(rng.rand(video_batch, H, W, 3), jnp.float32)
+        vb_mask = jnp.asarray(
+            np.broadcast_to(mask, (video_batch, H, W)).copy())
+        vb_state = jax.jit(
+            lambda p, i, m: eng.add_reference_frames_videos(
+                p, i, m, [n_obj_vb] * video_batch)
+        )(params, vb_imgs, vb_mask)
+
+        @jax.jit
+        def vb_scan(p, s, f):
+            def body(carry, _):
+                s2, pr = eng.step_videos(p, carry, f, orig_size=(H, W))
+                return s2, pr[:, ::64, ::64]
+            return jax.lax.scan(body, s, None, length=scan_k)
+
+        vb_state, prs = vb_scan(params, vb_state, vb_imgs)
+        np.asarray(prs)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vb_state, prs = vb_scan(params, vb_state, vb_imgs)
+        np.asarray(prs)
+        vb_ms = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
+        vb_fps = video_batch * 1000.0 / vb_ms
+
     # chunked serving (engine.step_chunk, TEST_FRAME_CHUNK analogue): K
     # distinct frames uploaded as ONE uint8 array, K steps scanned on
     # device with mask feedback, K uint8 masks read back once — a real
@@ -215,9 +248,14 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / base, 3),
+        # honest end-to-end ratio: best end-to-end mode measured in THIS
+        # harness (chunked serving through the tunnel, every mask read
+        # back) against the reference's attached-host end-to-end number
+        "vs_baseline_e2e": round(chunked_fps / base, 3),
         "assumption": "device-limit FPS (attached-host projection); "
                       "baseline 51.4 was attached-V100 end-to-end; "
-                      "tunnel-bound end-to-end numbers reported alongside",
+                      "tunnel-bound end-to-end numbers reported alongside "
+                      "(vs_baseline_e2e keys the best of those)",
         "device_ms_per_frame": round(device_ms, 3),
         "mfu": round(mfu, 4),
         "flops_per_frame": flops_per_frame,
@@ -227,6 +265,9 @@ def main():
         "tunnel_sync_fps": round(sync_fps, 2),
         "tunnel_chunked_fps": round(chunked_fps, 2),
         "chunk_frames": chunk_k,
+        **({"video_batch": video_batch,
+            "video_batch_device_fps": round(vb_fps, 2)}
+           if vb_fps else {}),
     }))
 
 

@@ -100,6 +100,7 @@ def test_mobilenetv3_parity():
     _assert_feature_parity(mine, params, ref, x)
 
 
+@pytest.mark.slow
 def test_resnest200_parity():
     """ResNeSt-200 (reference: resnest/resnest.py:71-89, factory kwargs
     encoders/__init__.py:24-31). 50/101 are covered by full-model goldens;

@@ -53,6 +53,7 @@ def test_engine_equivalence_aott(tmp_path, monkeypatch):
     assert worst_logit < 1e-3, per_frame
 
 
+@pytest.mark.slow
 def test_evaluator_tta_equivalence(tmp_path, monkeypatch):
     """Multi-scale + flip TTA: the real Evaluator vs the reference
     evaluator's multi-aug loop (evaluator.py:270-446)."""

@@ -14,6 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aot_tpu.configs import build_config
 from aot_tpu.eval.evaluator import Evaluator
@@ -88,6 +89,7 @@ def _run(tmp_path, chunk, seq, lt_gap=2, lt_cap=2, tag="", flip=False):
     return out
 
 
+@pytest.mark.slow
 def test_chunked_matches_per_frame(tmp_path):
     """chunk=4 over an 11-frame video with a mid-video GT label: chunks of
     4+1(labeled)+4+1, LT ring grows INSIDE a chunk (gap=2, cap=2) — masks
@@ -99,6 +101,7 @@ def test_chunked_matches_per_frame(tmp_path):
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
 
 
+@pytest.mark.slow
 def test_tta_bypasses_chunking(tmp_path):
     """TEST_FRAME_CHUNK is single-variant-only: with flip TTA enabled the
     evaluator must silently take the scalar multi-variant path and produce
@@ -110,6 +113,7 @@ def test_tta_bypasses_chunking(tmp_path):
         np.testing.assert_array_equal(a[f], b[f], err_msg=f)
 
 
+@pytest.mark.slow
 def test_chunk_larger_than_video(tmp_path):
     """chunk cap beyond the video length: powers-of-two decomposition
     (8+2 for the 10 label-free frames) still covers every frame."""

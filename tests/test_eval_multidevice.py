@@ -19,6 +19,7 @@ from aot_tpu.models import build_vos_model
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+@pytest.mark.slow
 def test_two_rank_eval_on_two_devices(tmp_path):
     cfg = build_config(stage="pre", model="aott", TEST_DATASET="test")
     cfg.TEST_MULTISCALE = [1.0]

@@ -62,6 +62,7 @@ def _run(eng, params, policy_grow: bool):
     return state, shadow, logits_all
 
 
+@pytest.mark.slow
 def test_grow_matches_uncapped_oracle():
     """Growing from cap=2 must give bit-comparable logits to a buffer
     pre-sized large enough to never evict (the uncapped oracle)."""

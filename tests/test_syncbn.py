@@ -78,6 +78,71 @@ def test_frozen_layout_unchanged():
         "weight", "bias", "running_mean", "running_var"}
 
 
+def test_trainable_bn_encoder_matches_torch():
+    """Encoder-level oracle for the unfrozen-BN path: MobileNetV2 with
+    frozen_bn=False in TRAIN mode (batch-moment normalisation + running-stat
+    EMA) against the torch reference encoder in .train() mode — features AND
+    post-forward running stats. The reference converts encoder BN to SyncBN
+    when unfrozen (trainer.py:66-67); in one process SyncBatchNorm computes
+    exactly nn.BatchNorm2d, so this pins the same semantics the SyncBN
+    sharded test then extends across devices."""
+    import os
+    import sys
+
+    torch = pytest.importorskip("torch")
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "networks")):
+        pytest.skip("reference repo not mounted")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    from networks.encoders.mobilenetv2 import MobileNetV2 as RefMNv2
+
+    from aot_tpu.models.encoders.mobilenetv2 import MobileNetV2
+    from aot_tpu.utils.torch_import import _mobilenetv2_rules
+    from tests.test_encoder_parity import (_convert_with_rules,
+                                           _randomize_bn_stats)
+
+    ref = RefMNv2(output_stride=16, norm_layer=torch.nn.BatchNorm2d)
+    ref.train()
+    _randomize_bn_stats(ref, seed=3)
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(4, 65, 65, 3).astype(np.float32)
+
+    mine = MobileNetV2(frozen_bn=False)
+    variables = mine.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert "batch_stats" in variables
+    rules = _mobilenetv2_rules(prefix_my="", prefix_t="")
+    params = _convert_with_rules({"params": variables["params"]}, ref, rules)
+    stats = _convert_with_rules(
+        {"params": variables["batch_stats"]}, ref, rules)
+
+    ys, mutated = mine.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x), mutable=["batch_stats"])
+
+    with torch.no_grad():
+        want = [t.numpy() for t in
+                ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+    assert len(ys) == len(want)
+    for got, w in zip(ys, want):
+        np.testing.assert_allclose(np.asarray(got),
+                                   w.transpose(0, 2, 3, 1),
+                                   rtol=1e-3, atol=1e-3)
+
+    # running stats after ONE train-mode forward must match torch's
+    # post-forward buffers (momentum 0.1, unbiased variance)
+    want_stats = _convert_with_rules(
+        {"params": mutated["batch_stats"]}, ref, rules)
+    flat_got = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    flat_want = jax.tree_util.tree_leaves(want_stats)
+    assert flat_got and len(flat_got) == len(flat_want)
+    for g, w in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_syncbn_sharded_equals_unsharded():
     """One sharded train step over a 2-device mesh produces the SAME
     running stats as the identical unsharded step — global-batch (SyncBN)

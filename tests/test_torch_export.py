@@ -38,7 +38,8 @@ def _my_params(model_name: str, seed: int = 0):
     return cfg, params
 
 
-@pytest.mark.parametrize("model_name", ["aott", "deaott", "r50_aotl"])
+@pytest.mark.parametrize("model_name", [
+    "aott", "deaott", pytest.param("r50_aotl", marks=pytest.mark.slow)])
 def test_export_import_roundtrip(model_name):
     import jax
 

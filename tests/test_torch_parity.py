@@ -83,8 +83,10 @@ def _build_mine(model_name: str):
     return cfg, model
 
 
-@pytest.mark.parametrize("model_name",
-                         ["aott", "aots", "deaott", "r50_aotl", "swinb_aotl", "rs101_aotl"])
+@pytest.mark.parametrize("model_name", [
+    "aott", "aots", "deaott", "r50_aotl",
+    pytest.param("swinb_aotl", marks=pytest.mark.slow),
+    pytest.param("rs101_aotl", marks=pytest.mark.slow)])
 def test_reference_forward_parity(model_name, tmp_path, monkeypatch):
     import jax
     import jax.numpy as jnp

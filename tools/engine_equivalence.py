@@ -41,6 +41,10 @@ if REPO not in sys.path:
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# --dtype: override this framework's TEST_DTYPE while the torch reference
+# stays fp32 — measures the mask-agreement cost of bf16 serving.
+DTYPE_OVERRIDE = None
+
 
 # --------------------------------------------------------------------------
 # video sources
@@ -207,6 +211,8 @@ def build_mine(model_name: str, lt_gap, st_skip, ref_model):
     cfg = build_config(stage="ytb", model=model_name)
     cfg.TEST_LONG_TERM_MEM_GAP = lt_gap
     cfg.TEST_SHORT_TERM_MEM_SKIP = st_skip
+    if DTYPE_OVERRIDE:  # bf16-vs-fp32-reference agreement runs
+        cfg.TEST_DTYPE = DTYPE_OVERRIDE
     model = build_vos_model(cfg, eval_mode=True)
     eng = build_infer_engine(model, cfg)
 
@@ -551,6 +557,8 @@ def run_mine_evaluator(model_name, ref_model, imgs_raw, label0, new_label,
     cfg = build_config(stage="ytb", model=model_name)
     cfg.TEST_LONG_TERM_MEM_GAP = lt_gap
     cfg.TEST_SHORT_TERM_MEM_SKIP = st_skip
+    if DTYPE_OVERRIDE:
+        cfg.TEST_DTYPE = DTYPE_OVERRIDE
     cfg.TEST_MULTISCALE = list(scales)
     cfg.TEST_FLIP = flip
     model = build_vos_model(cfg, eval_mode=True)
@@ -649,7 +657,13 @@ def main():
                     help="reference engine runs THIS framework's exported "
                          ".pth checkpoint (closes checkpoint-format parity)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--dtype", default=None,
+                    help="TEST_DTYPE for THIS framework's engine (e.g. "
+                         "bfloat16); the torch reference stays fp32")
     args = ap.parse_args()
+    if args.dtype:
+        global DTYPE_OVERRIDE
+        DTYPE_OVERRIDE = args.dtype
 
     import jax
     jax.config.update("jax_platforms", "cpu")

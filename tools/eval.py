@@ -33,6 +33,11 @@ def build_parser():
                         help="frames stepped per device dispatch "
                              "(TEST_FRAME_CHUNK; >1 = chunked on-device "
                              "scan, single-scale no-flip eval only)")
+    parser.add_argument("--video_batch", type=int, default=-1,
+                        help="videos stepped together per device dispatch "
+                             "(TEST_VIDEO_BATCH; >1 = batched multi-video "
+                             "serving for single-scale no-flip eval of "
+                             "frame-0-annotated videos)")
     parser.add_argument("--lt_gap", type=int, default=-1)
     parser.add_argument("--st_skip", type=int, default=-1)
     parser.add_argument("--mem_cap", type=int, default=-1)
@@ -64,6 +69,8 @@ def build_overrides(args):
         over["MODEL_MAX_OBJ_NUM"] = args.max_id_num
     if args.frame_chunk > 0:
         over["TEST_FRAME_CHUNK"] = args.frame_chunk
+    if args.video_batch > 0:
+        over["TEST_VIDEO_BATCH"] = args.video_batch
     if args.lt_gap > 0:
         over["TEST_LONG_TERM_MEM_GAP"] = args.lt_gap
     if args.st_skip > 0:
