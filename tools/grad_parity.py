@@ -87,6 +87,8 @@ def main():
         if parts[0] == "encoder":
             return "encoder"
         if parts[0] == "LSTT":
+            if parts[1] == "decoder_norms":
+                return "lstt.final_norm"
             # LSTT.layers.0.<sub>...
             return "lstt." + (parts[3] if len(parts) > 3 else parts[-1])
         return parts[0]
@@ -128,13 +130,31 @@ def main():
 
     my_loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
 
+    # flax-side module names -> the torch reference's (for aligned rows)
+    _ALIAS = {"ffn_linear1": "linear1", "ffn_linear2": "linear2",
+              "ffn_act": "activation", "LayerNorm_0": "final_norm"}
+
     def jbucket(path):
         parts = path.split("/")
         if parts[0] == "encoder":
             return "encoder"
         if parts[0] == "lstt":
-            return "lstt." + (parts[2] if len(parts) > 2 else parts[-1])
+            if parts[1].startswith(("LayerNorm_", "decoder_norm")):
+                return "lstt.final_norm"
+            sub = parts[2] if len(parts) > 2 else parts[-1]
+            return "lstt." + _ALIAS.get(sub, sub)
         return parts[0]
+
+    # Mask frozen leaves before measuring: the torch side's frozen params
+    # (requires_grad=False — encoder stem/stage1 at FREEZE_AT=2, FrozenBN
+    # affine) never materialise a .grad, while jax differentiates the whole
+    # tree and masks in the optimizer (train/optim.py leaf_update). Without
+    # this the encoder bucket compares torch's trainable subset against
+    # jax's full tree — a spurious ~10x.
+    from aot_tpu.train.optim import build_param_groups
+    frozen = build_param_groups(my_cfg, params)["frozen"]
+    grads = jax.tree.map(
+        lambda g, f: jnp.zeros_like(g) if f else g, grads, frozen)
 
     j_norms = defaultdict(float)
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]

@@ -53,6 +53,20 @@ def main():
                          "via utils/torch_import) — pairs with "
                          "overfit_ref.py --dump_init for a SAME-INIT "
                          "convergence A/B")
+    ap.add_argument("--no_seq_freeze", action="store_true",
+                    help="disable the step>=50%% id-bank seq-training "
+                         "freeze (train/optim.py seq_on). The torch twin "
+                         "holds use_prev_pred=False and freeze_params=[] "
+                         "for ALL steps (the reference couples both to "
+                         "the same step threshold, trainer.py:405-410) — "
+                         "pass this for a symmetric same-init A/B")
+    ap.add_argument("--perturb", type=float, default=0.0,
+                    help="relative init perturbation (e.g. 1e-7): a "
+                         "CHAOS CONTROL for the convergence A/B — if the "
+                         "same framework's trajectory diverges from its "
+                         "own unperturbed twin as fast as it diverges "
+                         "from the torch twin, curve gaps are Adam "
+                         "trajectory chaos, not a dynamics bug")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (JAX_PLATFORMS env is not "
                          "enough under the axon plugin — the config key "
@@ -79,6 +93,8 @@ def main():
     cfg.TRAIN_AUTO_RESUME = False
     if args.no_droppath:
         cfg.TRAIN_LSTT_DROPPATH = 0.0
+    if args.no_seq_freeze:
+        cfg.TRAIN_SEQ_TRAINING_START_RATIO = 10.0  # never reached
     if args.fp32:
         cfg.TRAIN_DTYPE = "float32"
         cfg.TRAIN_MATMUL_PRECISION = "high"
@@ -156,6 +172,24 @@ def main():
                  if trainer.state.ema is not None else None))
         print(json.dumps({"init_pth": args.init_pth,
                           "unexpected": len(unexpected)}), flush=True)
+    if args.perturb > 0.0:
+        import numpy as np  # noqa: F811 — local for clarity
+        rng_p = np.random.RandomState(123)
+
+        def _jitter(x):
+            x = jax.device_get(x)
+            return x * (1.0 + args.perturb * rng_p.standard_normal(x.shape)
+                        .astype(np.float32))
+
+        from aot_tpu.parallel import replicate
+        from aot_tpu.train import ema as ema_lib
+        pp = jax.tree.map(_jitter, jax.device_get(trainer.state.params))
+        pp = replicate(trainer.mesh, pp)
+        trainer.state = trainer.state.replace(
+            params=pp,
+            ema=(ema_lib.ema_init(pp)
+                 if trainer.state.ema is not None else None))
+        print(json.dumps({"perturb": args.perturb}), flush=True)
     if args.no_id_shuffle:
         from aot_tpu.train.step import make_train_step, shard_train_step
         trainer.train_step = shard_train_step(
