@@ -124,6 +124,10 @@ def main():
     # and transfer latency (the number that scales with memory length)
     dev_frame = jnp.asarray(host_frames[0])
     scan_k = 8
+    # v5e (v5 lite) peak 197 TFLOP/s bf16; fp32 eval runs matmuls through
+    # the MXU in multi-pass bf16 ('high' precision), so bf16 peak is the
+    # roofline either way.
+    V5E_PEAK_FLOPS = 197e12
 
     @jax.jit
     def scan_steps(p, s, f):
@@ -141,13 +145,14 @@ def main():
     np.asarray(prs)  # one readback; the dstate chain serialises all reps
     device_ms = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
 
-    # batched multi-video serving (BENCH_VIDEO_BATCH=N): N independent
-    # videos stepped in one dispatch over the engine's batch axis —
-    # converts idle MXU into aggregate throughput (the TPU-native form of
-    # the reference's multi-GPU eval queue, evaluator.py:216-235).
+    # batched multi-video serving (BENCH_VIDEO_BATCH=N, default 8): N
+    # independent videos stepped in one dispatch over the engine's batch
+    # axis — converts idle MXU into aggregate throughput (the TPU-native
+    # form of the reference's multi-GPU eval queue, evaluator.py:216-235).
     # Scan-chained like the device-limit number; aggregate FPS = N/frame-ms.
-    video_batch = int(os.environ.get("BENCH_VIDEO_BATCH", "0"))
+    video_batch = int(os.environ.get("BENCH_VIDEO_BATCH", "8"))
     vb_fps = None
+    vb_mfu = None
     if video_batch > 1:
         n_obj_vb = min(n_objects, 10)
         vb_imgs = jnp.asarray(rng.rand(video_batch, H, W, 3), jnp.float32)
@@ -173,6 +178,20 @@ def main():
         np.asarray(prs)
         vb_ms = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
         vb_fps = video_batch * 1000.0 / vb_ms
+        # FLOPs from an UNSCANNED single-dispatch lowering: XLA's
+        # cost_analysis counts a while-loop body once regardless of trip
+        # count, so lowering the scan would undercount by scan_k.
+        try:
+            vb_step = jax.jit(lambda p, s, f: eng.step_videos(
+                p, s, f, orig_size=(H, W)))
+            vb_cost = vb_step.lower(
+                params, vb_state, vb_imgs).compile().cost_analysis()
+            if isinstance(vb_cost, (list, tuple)):
+                vb_cost = vb_cost[0]
+            vb_flops = float(vb_cost.get("flops", 0.0))
+        except Exception:
+            vb_flops = 0.0
+        vb_mfu = vb_flops / (vb_ms / 1e3) / V5E_PEAK_FLOPS
 
     # chunked serving (engine.step_chunk, TEST_FRAME_CHUNK analogue): K
     # distinct frames uploaded as ONE uint8 array, K steps scanned on
@@ -209,11 +228,7 @@ def main():
     dt_sync = time.perf_counter() - t0
     sync_fps = n_frames / dt_sync
 
-    # MFU: compiled FLOPs per frame / device time / chip peak. v5e (v5
-    # lite) peak is 197 TFLOP/s bf16; fp32 eval runs matmuls through the
-    # MXU in multi-pass bf16 ('high' precision), so bf16 peak is the
-    # roofline either way.
-    V5E_PEAK_FLOPS = 197e12
+    # MFU: compiled FLOPs per frame / device time / chip peak.
     try:
         cost = step_u8.lower(
             params, state, dev_frame).compile().cost_analysis()
@@ -235,6 +250,56 @@ def main():
         kernels_ok, kernel_errs = False, {"error": str(e)}
     if not kernels_ok:
         print(f"KERNEL REGRESSION: {kernel_errs}", file=sys.stderr)
+
+    # bf16 serving point (BENCH_BF16=0 to skip): same model/weights with
+    # TEST_DTYPE=bfloat16, device-limit cadence. Mask agreement vs the fp32
+    # torch reference is pinned by artifacts/equiv_bf16*.json (see
+    # PERFORMANCE.md "bf16 serving"); this captures the FPS/MFU side.
+    bf16_fields = {}
+    if dtype == "float32" and os.environ.get("BENCH_BF16", "1") != "0":
+        from aot_tpu.configs import build_config as _bc
+
+        cfg16 = _bc(stage="pre_ytb_dav", model=model_name,
+                    TEST_DTYPE="bfloat16", TEST_LONG_TERM_MEM_CAP=lt_cap,
+                    **over, TEST_LONG_TERM_MEM_POLICY="fifo")
+        model16 = build_vos_model(cfg16, eval_mode=True)
+        eng16 = build_infer_engine(model16, cfg16)
+        state16 = jax.jit(
+            lambda p, i, m: eng16.add_reference_frame(
+                p, i, m, obj_num=n_objects))(params, img0, jnp.asarray(mask))
+
+        @jax.jit
+        def scan16(p, s, f):
+            def body(carry, _):
+                s2, pr, _ = eng16.step(p, carry, f, output_size=(H, W))
+                return s2, pr[0, ::64, ::64]
+            return jax.lax.scan(body, s, None, length=scan_k)
+
+        state16, prs16 = scan16(params, state16, dev_frame)
+        np.asarray(prs16)
+        state16, prs16 = scan16(params, state16, dev_frame)  # steady state
+        np.asarray(prs16)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state16, prs16 = scan16(params, state16, dev_frame)
+        np.asarray(prs16)
+        ms16 = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
+        # unscanned lowering for FLOPs — see vb_step note above
+        try:
+            step16 = jax.jit(lambda p, s, f: eng16.step(
+                p, s, f, output_size=(H, W))[:2])
+            cost16 = step16.lower(
+                params, state16, dev_frame).compile().cost_analysis()
+            if isinstance(cost16, (list, tuple)):
+                cost16 = cost16[0]
+            flops16 = float(cost16.get("flops", 0.0))
+        except Exception:
+            flops16 = 0.0
+        bf16_fields = {
+            "bf16_device_fps": round(1000.0 / ms16, 2),
+            "bf16_device_ms_per_frame": round(ms16, 3),
+            "bf16_mfu": round(flops16 / (ms16 / 1e3) / V5E_PEAK_FLOPS, 4),
+        }
 
     # headline = device-limit FPS. ASSUMPTION: this is per-frame device
     # compute (scan-chained, single readback); the V100 baseline (51.4) was
@@ -266,8 +331,10 @@ def main():
         "tunnel_chunked_fps": round(chunked_fps, 2),
         "chunk_frames": chunk_k,
         **({"video_batch": video_batch,
-            "video_batch_device_fps": round(vb_fps, 2)}
+            "video_batch_device_fps": round(vb_fps, 2),
+            "video_batch_mfu": round(vb_mfu, 4)}
            if vb_fps else {}),
+        **bf16_fields,
     }))
 
 
