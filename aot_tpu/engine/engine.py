@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from aot_tpu.engine import state as S
-from aot_tpu.ops.image import interpolate_bilinear, one_hot_mask
+from aot_tpu.ops.image import interpolate_bilinear
 from aot_tpu.ops.position import sine_position_embedding_seq
 
 NEG_LOGIT = -1e10
@@ -69,6 +69,13 @@ class VOSEngine:
 
     def get_id_emb(self, params, one_hot, *, deterministic=True, rngs=None):
         return self._apply(params, type(self.model).get_id_emb, one_hot,
+                           deterministic=deterministic, rngs=rngs)
+
+    def get_id_emb_label(self, params, label, *, deterministic=True,
+                         rngs=None):
+        """Id embedding from an int label map — the id bank's blocked
+        matmul path (skips the lane-padded NHWC one-hot)."""
+        return self._apply(params, type(self.model).get_id_emb_label, label,
                            deterministic=deterministic, rngs=rngs)
 
     # --- state construction ---------------------------------------------
@@ -171,9 +178,8 @@ class VOSEngine:
         hw = size_2d[0] * size_2d[1]
 
         if id_emb is None:
-            oh = one_hot_mask(mask, self.max_obj_num)
-            id_emb = self.get_id_emb(params, oh, deterministic=deterministic,
-                                     rngs=rngs)
+            id_emb = self.get_id_emb_label(
+                params, mask, deterministic=deterministic, rngs=rngs)
         pos = sine_position_embedding_seq(*size_2d, self.model.emb_dim)
 
         embs, mems = self._apply(
@@ -289,19 +295,29 @@ class VOSEngine:
         return fused_layers
 
     def _write_lt(self, state: S.EngineState, fused, hw: int):
-        slots = S.lt_write_slot(state.lt_count, self.lt_cap_of(state, hw),
-                                self.lt_policy)
-        offsets = slots * hw  # (B,) — per-sample write position
+        cap = self.lt_cap_of(state, hw)
+        slots = S.lt_write_slot(state.lt_count, cap, self.lt_policy)  # (B,)
 
-        def write_one(buf, val, off):
-            return jax.lax.dynamic_update_slice(buf, val, (off, 0))
+        # NOTE: no vmap(dynamic_update_slice) here — per-batch dynamic
+        # offsets lower to an XLA scatter, which TPU serializes (~2.7 ms
+        # per step at 465², the single largest cost of the fused eval
+        # step before this form). B==1 writes one contiguous DMA slice;
+        # B>1 does a masked rewrite of the (B, cap, hw, c) view — full
+        # buffer traffic, but vectorized (µs, not ms).
+        def write(buf, val):
+            if buf.shape[0] == 1:
+                return jax.lax.dynamic_update_slice(
+                    buf, val, (0, slots[0] * hw, 0))
+            b, _, c = buf.shape
+            buf4 = buf.reshape(b, cap, hw, c)
+            hit = (jnp.arange(cap) == slots[:, None])[..., None, None]
+            return jnp.where(hit, val[:, None], buf4).reshape(b, cap * hw, c)
 
         new_lt = []
         for layer_lt, layer_f in zip(state.lt, fused):
             out = {}
             for key, buf in layer_lt.items():
-                val = layer_f[key].astype(buf.dtype)
-                out[key] = jax.vmap(write_one)(buf, val, offsets)
+                out[key] = write(buf, layer_f[key].astype(buf.dtype))
             new_lt.append(out)
         return tuple(new_lt)
 
@@ -321,9 +337,13 @@ class VOSEngine:
         short-term ring and, every lt_gap frames, the long-term buffer
         (reference: aot_engine.py:307-338)."""
         if id_emb is None:
-            oh = prob if prob is not None else one_hot_mask(mask, self.max_obj_num)
-            id_emb = self.get_id_emb(params, oh, deterministic=deterministic,
-                                     rngs=rngs)
+            if prob is not None:
+                id_emb = self.get_id_emb(params, prob,
+                                         deterministic=deterministic,
+                                         rngs=rngs)
+            else:
+                id_emb = self.get_id_emb_label(
+                    params, mask, deterministic=deterministic, rngs=rngs)
         hw = state.embs[0].shape[1]
         fused = self._fuse_curr(params, state, id_emb)
 
@@ -349,17 +369,22 @@ class VOSEngine:
                 do_lt,
                 jnp.min(state.lt_count) < self.lt_cap_of(state, hw))
 
-        def write(st_):
-            return st_.replace(
-                lt=self._write_lt(st_, fused, hw),
-                lt_count=st_.lt_count + 1,
-            )
-
         state = state.replace(
             st=tuple(new_st),
             st_ptr=ptr,
             st_count=jnp.minimum(state.st_count + 1, self.st_skip),
         )
-        state = jax.lax.cond(do_lt, write, lambda s: s, state)
+        # per-buffer select instead of lax.cond: an HLO conditional carries
+        # the whole EngineState through its interface every step (copies +
+        # a device sync point) even though high-FPS configs (gap 9999)
+        # never take the branch; computing the write and selecting is pure
+        # elementwise traffic over the lt ring and fuses into the step.
+        written = self._write_lt(state, fused, hw)
+        new_lt = tuple(
+            {k: jnp.where(do_lt, w[k], old[k]) for k in old}
+            for w, old in zip(written, state.lt))
+        state = state.replace(
+            lt=new_lt,
+            lt_count=jnp.where(do_lt, state.lt_count + 1, state.lt_count))
         return state.replace(last_mem_step=jnp.where(
             gap_hit, state.frame_step, state.last_mem_step))

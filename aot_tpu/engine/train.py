@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from aot_tpu.engine.engine import VOSEngine
 from aot_tpu.ops import losses as loss_ops
-from aot_tpu.ops.image import interpolate_bilinear_matmul_cf, one_hot_mask
+from aot_tpu.ops.image import interpolate_bilinear_matmul_cf
 
 
 def build_train_engine(model, cfg) -> "TrainEngine":
@@ -63,19 +63,22 @@ class TrainEngine(VOSEngine):
         self.remat_policy = remat_policy
 
     # --- helpers ---------------------------------------------------------
-    def _shuffled_one_hot(self, mask, shuffle_matrix):
-        """one-hot + optional identity permutation
-        (reference: aot_engine.py:168-171)."""
-        oh = one_hot_mask(mask, self.max_obj_num)  # (B, H, W, M+1)
-        if shuffle_matrix is not None:
-            oh = jnp.einsum("bhwo,bot->bhwt", oh, shuffle_matrix)
-        return oh
-
     def _id_emb(self, params, mask, shuffle_matrix, freeze_id, rngs,
                 deterministic=False):
-        oh = self._shuffled_one_hot(mask, shuffle_matrix)
-        emb = self.get_id_emb(params, oh, deterministic=deterministic,
-                              rngs=rngs)
+        label = mask
+        if label.ndim == 4 and label.shape[-1] == 1:
+            label = label[..., 0]
+        label = label.astype(jnp.int32)
+        if shuffle_matrix is not None:
+            # shuffle matrices are permutations (generate_permute_matrix),
+            # so one_hot(l) @ S == one_hot(perm[l]) — relabel instead of
+            # matmul, keeping the id bank's fast label path applicable
+            perm = jnp.argmax(shuffle_matrix, axis=2).astype(jnp.int32)
+            b = label.shape[0]
+            label = jnp.take_along_axis(
+                perm, label.reshape(b, -1), axis=1).reshape(label.shape)
+        emb = self.get_id_emb_label(params, label,
+                                    deterministic=deterministic, rngs=rngs)
         if freeze_id:
             emb = jax.lax.stop_gradient(emb)
         return emb

@@ -28,6 +28,86 @@ from aot_tpu.ops.position import sine_position_embedding_seq
 Dtype = Any
 
 
+def _id_bank_label_matmul(label, kernel, bias, pad: int, dtype):
+    """Patch-wise id-bank conv (k=ks, s=16, p=pad) applied to
+    one_hot(label), computed WITHOUT materializing the (B, H, W, M+1)
+    one-hot: on TPU that NHWC layout pads the (M+1)=11-channel minor axis
+    to 128 lanes, inflating HBM traffic ~11x — measured as the dominant
+    cost of the fused eval step (2.75 ms of 5.2 ms at N=1). Here the
+    label is reshaped into stride-16 blocks and one-hotted directly in a
+    blocked layout whose channel axis folds into the matmul contraction
+    dim (16*16*(M+1) = 2816 for k=17), so the MXU sees one clean matmul.
+
+    k=17 overlaps neighbouring blocks by one row/col; the kernel splits
+    into the 16x16 body + last-row + last-col + corner terms, each its
+    own small matmul over a strided slice. Exactly equals the conv path
+    (tests/test_id_bank.py pins conv==matmul).
+
+    label: (B, H, W) int; kernel: (ks, ks, cin, co) HWIO; pad value -1
+    one-hots to all-zeros, matching the conv's zero padding.
+    """
+    ks, _, cin, co = kernel.shape
+    s = 16
+    b, h, w = label.shape
+    lab = label.astype(jnp.int32)
+    if pad:
+        lab = jnp.pad(lab, ((0, 0), (pad, pad), (pad, pad)),
+                      constant_values=-1)
+    nh = (h + 2 * pad - ks) // s + 1
+    nw = (w + 2 * pad - ks) // s + 1
+    k = kernel.astype(dtype)
+
+    main = lab[:, :s * nh, :s * nw].reshape(b, nh, s, nw, s)
+    main = main.transpose(0, 1, 3, 2, 4)                  # (B,nh,nw,16,16)
+    oh = jax.nn.one_hot(main, cin, dtype=dtype)
+    x = oh.reshape(b, nh * nw, s * s * cin) @ k[:s, :s].reshape(s * s * cin, co)
+    if ks == s + 1:
+        rows = lab[:, s:s * nh + 1:s, :s * nw]            # ky=16 term
+        ohr = jax.nn.one_hot(rows.reshape(b, nh, nw, s), cin, dtype=dtype)
+        x += ohr.reshape(b, nh * nw, s * cin) @ k[s, :s].reshape(s * cin, co)
+        cols = lab[:, :s * nh, s:s * nw + 1:s]            # kx=16 term
+        ohc = jax.nn.one_hot(
+            cols.reshape(b, nh, s, nw).transpose(0, 1, 3, 2),
+            cin, dtype=dtype)
+        x += ohc.reshape(b, nh * nw, s * cin) @ k[:s, s].reshape(s * cin, co)
+        corn = lab[:, s:s * nh + 1:s, s:s * nw + 1:s]     # corner term
+        x += jax.nn.one_hot(corn, cin, dtype=dtype).reshape(
+            b, nh * nw, cin) @ k[s, s]
+    x = x + bias.astype(dtype)
+    return x.reshape(b, nh, nw, co)
+
+
+class PatchwiseIdBank(nn.Module):
+    """Stride-16 conv over the (M+1)-channel one-hot mask (aot.py:50-63),
+    with a fast label-input mode. Param tree identical to the nn.Conv it
+    replaces ({kernel, bias} under the same module name), so checkpoints
+    and the torch importer are untouched."""
+
+    features: int
+    cin: int
+    ks: int
+    pad: int
+    kernel_init: Any
+    bias_init: Any
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, one_hot=None, *, label=None):
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.ks, self.ks, self.cin, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if label is not None:
+            return _id_bank_label_matmul(
+                label, kernel, bias, self.pad, self.dtype)
+        y = jax.lax.conv_general_dilated(
+            one_hot.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(16, 16),
+            padding=[(self.pad, self.pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 def _orthogonal_rows(gain: float):
     """Orthogonal init over the flattened (O, I*kh*kw) view with scaling
     `gain` — the reference's patch_wise_id_bank init (aot.py:110-115)."""
@@ -88,9 +168,9 @@ class AOT(nn.Module):
         # patch-wise identity bank (aot.py:50-63): stride-16 conv over the
         # (M+1)-channel one-hot mask; kernel 17/pad 8 when align_corners.
         ks = 17 if self.align_corners else 16
-        self.patch_wise_id_bank = nn.Conv(
-            self.emb_dim, (ks, ks), strides=(16, 16),
-            padding=8 if self.align_corners else 0,
+        self.patch_wise_id_bank = PatchwiseIdBank(
+            features=self.emb_dim, cin=self.max_obj_num + 1,
+            ks=ks, pad=8 if self.align_corners else 0,
             kernel_init=_orthogonal_rows(gain=ks ** -2),
             bias_init=L.torch_bias_init((self.max_obj_num + 1) * ks * ks),
             dtype=self.dtype, name="patch_wise_id_bank")
@@ -135,6 +215,19 @@ class AOT(nn.Module):
     def get_id_emb(self, one_hot: jax.Array, *, deterministic: bool = True):
         """one_hot: (B, H, W, M+1) -> (B, HW16, emb_dim) (aot.py:76-79)."""
         x = self.patch_wise_id_bank(one_hot.astype(self.dtype))
+        return self._id_emb_post(x, deterministic)
+
+    def get_id_emb_label(self, label: jax.Array, *,
+                         deterministic: bool = True):
+        """Identity embedding straight from an int label map (B, H, W) —
+        same math as get_id_emb(one_hot_mask(label)) via the id bank's
+        blocked-matmul mode (no lane-padded NHWC one-hot on TPU)."""
+        if label.ndim == 4 and label.shape[-1] == 1:
+            label = label[..., 0]
+        x = self.patch_wise_id_bank(label=label)
+        return self._id_emb_post(x, deterministic)
+
+    def _id_emb_post(self, x, deterministic):
         x = self._id_post(x)
         x = self.id_drop(x, deterministic=deterministic)
         b, h, w, c = x.shape
