@@ -54,6 +54,15 @@ def main():
                        # steady-state ring -> static shapes for the
                        # throughput loop (eval's default is 'grow')
                        TEST_LONG_TERM_MEM_POLICY="fifo")
+    if cfg.TEST_LONG_TERM_MEM_GAP >= 9999 and "BENCH_LT_CAP" not in os.environ:
+        # gap-9999 models (AOTT/S/B, DeAOTT/S/B) never write LT after the
+        # reference frame, so real eval's 'grow' ring stays at ONE frame;
+        # a cap-8 ring would pad their LT attention with 7x dead keys.
+        # -L models keep the cap-8 steady ring (their gap fills it).
+        lt_cap = 1
+        cfg = build_config(stage="pre_ytb_dav", model=model_name,
+                           TEST_DTYPE=dtype, TEST_LONG_TERM_MEM_CAP=1,
+                           **over, TEST_LONG_TERM_MEM_POLICY="fifo")
     setup_runtime(matmul_precision=cfg.TEST_MATMUL_PRECISION)
     model = build_vos_model(cfg, eval_mode=True)
 
