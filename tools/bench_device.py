@@ -24,7 +24,7 @@ from bench import BASELINES  # noqa: E402
 
 
 def measure(model_name: str, dtype: str, n_objects: int, n_frames: int,
-            lt_cap: int) -> dict:
+            lt_cap: int | None) -> dict:
     from functools import partial
 
     import jax
@@ -36,12 +36,17 @@ def measure(model_name: str, dtype: str, n_objects: int, n_frames: int,
     from aot_tpu.models import build_vos_model
     from aot_tpu.utils.runtime import setup_runtime
 
+    # lt_cap=None means "bench default": cap 8 steady ring, except
+    # gap-9999 models (AOTT/S/B-class) whose honest steady ring is cap 1
+    # (they never write LT after the reference frame). An explicit
+    # --lt_cap is always honored, matching bench.py's
+    # "BENCH_LT_CAP not in os.environ" guard.
+    user_cap = lt_cap is not None
+    lt_cap = lt_cap if user_cap else 8
     cfg = build_config(stage="pre_ytb_dav", model=model_name,
                        TEST_DTYPE=dtype, TEST_LONG_TERM_MEM_CAP=lt_cap,
                        TEST_LONG_TERM_MEM_POLICY="fifo")
-    if cfg.TEST_LONG_TERM_MEM_GAP >= 9999 and lt_cap > 1:
-        # gap-9999 models never write LT after the reference frame (see
-        # bench.py) — honest steady ring is cap 1
+    if cfg.TEST_LONG_TERM_MEM_GAP >= 9999 and not user_cap:
         lt_cap = 1
         cfg = build_config(stage="pre_ytb_dav", model=model_name,
                            TEST_DTYPE=dtype, TEST_LONG_TERM_MEM_CAP=1,
@@ -90,8 +95,12 @@ def measure(model_name: str, dtype: str, n_objects: int, n_frames: int,
     device_ms = (time.perf_counter() - t0) / (reps * scan_k) * 1e3
 
     base = BASELINES.get(model_name)
-    return {
-        "metric": f"{model_name}_480p_{n_objects}obj_device_fps",
+    # dtype is part of the metric name for non-fp32 runs so JSON consumers
+    # merging rows by metric cannot conflate a bf16 FPS with the headline
+    # fp32 comparison; the vs_baseline for bf16 rows is annotated.
+    suffix = "" if dtype == "float32" else f"_{dtype.replace('float', 'f')}"
+    out = {
+        "metric": f"{model_name}_480p_{n_objects}obj{suffix}_device_fps",
         "dtype": dtype,
         "value": round(1000.0 / device_ms, 2),
         "unit": "frames/s",
@@ -100,6 +109,11 @@ def measure(model_name: str, dtype: str, n_objects: int, n_frames: int,
         **({"vs_baseline": round(1000.0 / device_ms / base, 3)}
            if base else {}),
     }
+    if base and dtype != "float32":
+        out["vs_baseline_note"] = (
+            f"{dtype} device FPS over the reference's fp32 attached-V100 "
+            "end-to-end number — not the headline fp32 comparison")
+    return out
 
 
 def main():
@@ -108,10 +122,31 @@ def main():
     ap.add_argument("--dtypes", nargs="+", default=["float32"])
     ap.add_argument("--objects", type=int, default=10)
     ap.add_argument("--frames", type=int, default=48)
-    ap.add_argument("--lt_cap", type=int, default=8)
+    ap.add_argument("--lt_cap", type=int, default=None,
+                    help="LT ring cap; default: 8, or 1 for gap-9999 models")
+    ap.add_argument("--skip_kernel_check", action="store_true")
     args = ap.parse_args()
+    kernels_ok = None
+    kernel_errs = None
+    if not args.skip_kernel_check:
+        # re-verify Pallas kernel numerics on this chip once per invocation
+        # so re-measured PERFORMANCE.md rows carry a kernels_ok signal.
+        # Matmul precision must be pinned BEFORE the check: the XLA oracle
+        # at default (bf16-pass) precision differs from the fp32 kernels by
+        # ~1e-3, which would read as a false kernel regression.
+        try:
+            from aot_tpu.ops.pallas.hw_check import run_numerics_checks
+            from aot_tpu.utils.runtime import setup_runtime
+            setup_runtime(matmul_precision="high")
+            kernels_ok, kernel_errs = run_numerics_checks()
+        except Exception as e:  # noqa: BLE001 — report, never hide
+            kernels_ok, kernel_errs = False, {"error": str(e)}
+        if not kernels_ok:
+            print(f"KERNEL REGRESSION: {kernel_errs}", file=sys.stderr)
     for dt in args.dtypes:
         r = measure(args.model, dt, args.objects, args.frames, args.lt_cap)
+        if kernels_ok is not None:
+            r["kernels_ok"] = kernels_ok
         print(json.dumps(r), flush=True)
 
 
