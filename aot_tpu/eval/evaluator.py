@@ -29,7 +29,8 @@ import numpy as np
 from aot_tpu.data.eval_datasets import build_eval_dataset
 from aot_tpu.data.video_aug import multi_restrict_size
 from aot_tpu.engine import build_infer_engine
-from aot_tpu.ops.image import interpolate_bilinear, interpolate_nearest
+from aot_tpu.ops.image import (interpolate_bilinear, interpolate_nearest,
+                               pack_labels_4bit, unpack_labels_4bit_np)
 from aot_tpu.utils.eval_pack import zip_folder
 from aot_tpu.utils.image import save_mask_async
 
@@ -110,14 +111,20 @@ class Evaluator:
 
         return jax.jit(fn, static_argnames=("input_size",))
 
-    def _make_step_chunk(self, k: int):
+    def _make_step_chunk(self, k: int, pack: bool = False):
         """K-frame single-dispatch stepping (engine.step_chunk): one upload
         of K frames, one download of K masks — amortises host<->device
-        latency over label-free stretches. Single-variant (no TTA) only."""
+        latency over label-free stretches. Single-variant (no TTA) only.
+        pack=True additionally 4-bit-packs the K masks on device (valid for
+        <= 15 ids), halving the mandatory downlink bytes per chunk."""
         eng = self.engine
 
         def fn(params, state, imgs, orig_size, input_size):
-            return eng.step_chunk(params, state, imgs, orig_size, input_size)
+            state, preds = eng.step_chunk(params, state, imgs, orig_size,
+                                          input_size)
+            if pack:
+                preds = pack_labels_4bit(preds)
+            return state, preds
 
         return jax.jit(fn, static_argnames=("orig_size", "input_size"))
 
@@ -355,14 +362,19 @@ class Evaluator:
                         sh.update(frame_idx + j)
                     states[0] = self.engine.ensure_lt_capacity(
                         states[0], sh.count)
+                    pack = obj_num <= 15
                     step_c = self._fn(
-                        "chunk", k, builder=lambda: self._make_step_chunk(k))
+                        "chunk", k, pack,
+                        builder=lambda: self._make_step_chunk(k, pack))
                     states[0], preds = step_c(
                         params, states[0], jnp.asarray(imgs),
                         (m0["height"], m0["width"]),
                         tuple(input_sizes[0]))
                     preds_np = np.asarray(
-                        jax.device_get(preds))  # (K, 1, H, W) uint8
+                        jax.device_get(preds))  # (K, 1, H, W[/2]) uint8
+                    if pack:
+                        preds_np = unpack_labels_4bit_np(
+                            preds_np, m0["width"])
                     dt = time.perf_counter() - t0
                     frame_times.extend([dt / k] * k)
                     for j, s in enumerate(chunk_samples):

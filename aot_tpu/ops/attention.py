@@ -352,6 +352,13 @@ def local_attention(
         return _local_attention_dense(
             q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
             max_dis=max_dis, dilation=dilation, d_att=d_att)
+    if _ATTN_IMPL == "window":
+        # force the TPU serving formulation on any backend — used by the
+        # cross-framework equivalence harness to exercise the exact dispatch
+        # that serves on TPU while running against the CPU torch reference
+        return local_attention_window(
+            q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
+            max_dis=max_dis, dilation=dilation, d_att=d_att)
     if size_2d[0] * size_2d[1] > _DENSE_LOCAL_MAX_TOKENS and dilation == 1:
         if _use_local_kernel():
             from aot_tpu.ops.pallas.local_window_attn import (

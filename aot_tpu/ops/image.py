@@ -153,6 +153,33 @@ def flip_horizontal(x: jax.Array) -> jax.Array:
     return jnp.flip(x, axis=x.ndim - 2)
 
 
+def pack_labels_4bit(labels: jax.Array) -> jax.Array:
+    """Pack a (..., W) uint8 label map with values <= 15 to (..., ceil(W/2))
+    uint8, two labels per byte (low nibble = even column). Device-side half
+    of the mask downlink compression: label maps are <= (max_obj_num+1)
+    valued, so shipping full bytes wastes half the mandatory device->host
+    bytes on the serving link (the reference never downlinks masks — its
+    GPU is host-attached, evaluator.py:444-446; this is TPU-serving-only)."""
+    w = labels.shape[-1]
+    if w % 2:
+        pad = [(0, 0)] * (labels.ndim - 1) + [(0, 1)]
+        labels = jnp.pad(labels, pad)
+    lo = labels[..., 0::2].astype(jnp.uint8)
+    hi = labels[..., 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_labels_4bit_np(packed, w: int):
+    """Host-side inverse of pack_labels_4bit. packed: numpy uint8 (..., P);
+    returns (..., w) uint8."""
+    import numpy as np
+
+    lo = packed & 0xF
+    hi = packed >> 4
+    out = np.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (-1,))
+    return out[..., :w]
+
+
 @partial(jax.jit, static_argnames=("num_classes",))
 def label_to_onehot_probs(label: jax.Array, num_classes: int) -> jax.Array:
     return jax.nn.one_hot(label, num_classes, dtype=jnp.float32)

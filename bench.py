@@ -182,7 +182,10 @@ def main():
         vb_frames = jnp.asarray(
             (rng.rand(scan_k, video_batch, H, W, 3) * 255).astype(np.uint8))
 
-        @jax.jit
+        # donate the carried state: without donation every dispatch copies
+        # the B-videos engine state (LT/ST rings + 4 encoder shortcut maps,
+        # tens of MB at B=8) instead of updating it in place
+        @partial(jax.jit, donate_argnums=(1,))
         def vb_scan(p, s, fs):
             def body(carry, f):
                 s2, pr = eng.step_videos(p, carry, f, orig_size=(H, W))
@@ -218,8 +221,18 @@ def main():
     # end-to-end measurement of offline-eval throughput that amortises the
     # tunnel's per-dispatch latency without the device-limit projection.
     chunk_k = int(os.environ.get("BENCH_CHUNK", "32"))
-    chunk_fn = jax.jit(lambda p, s, f: eng.step_chunk(
-        p, s, f, orig_size=(H, W), input_size=(H, W)))
+    # masks are <= (n_objects+1)-valued: 4-bit-pack them on device before
+    # the fetch (halves the dominant downlink term of the mandatory
+    # per-chunk traffic); host-side unpack is inside the timed loop.
+    pack_masks = n_objects <= 15
+    from aot_tpu.ops.image import pack_labels_4bit, unpack_labels_4bit_np
+
+    def _chunk(p, s, f):
+        st, pr = eng.step_chunk(p, s, f, orig_size=(H, W),
+                                input_size=(H, W))
+        return st, (pack_labels_4bit(pr) if pack_masks else pr)
+
+    chunk_fn = jax.jit(_chunk)
     reps_c = max(1, n_frames // chunk_k)
     chunks = [np.stack(host_frames[(i * chunk_k) % n_frames:
                                    (i * chunk_k) % n_frames + chunk_k])
@@ -231,7 +244,9 @@ def main():
     t0 = time.perf_counter()
     for c in chunks:
         cstate, cpreds = chunk_fn(params, cstate, jnp.asarray(c))
-        np.asarray(cpreds)  # K-mask readback, blocks
+        got = np.asarray(cpreds)  # K-mask readback, blocks
+        if pack_masks:
+            unpack_labels_4bit_np(got, W)
     dt_chunk = time.perf_counter() - t0
     chunked_fps = len(chunks) * chunk_k / dt_chunk
 

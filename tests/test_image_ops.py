@@ -70,3 +70,16 @@ def test_permute_matrix_keeps_background():
     # each matrix is a permutation
     np.testing.assert_allclose(m.sum(1), np.ones((4, 11)))
     np.testing.assert_allclose(m.sum(2), np.ones((4, 11)))
+
+
+def test_pack_labels_4bit_roundtrip():
+    from aot_tpu.ops.image import pack_labels_4bit, unpack_labels_4bit_np
+
+    rng = np.random.RandomState(0)
+    for shape in [(3, 1, 7, 11), (2, 5, 8), (1, 465, 465)]:
+        labels = rng.randint(0, 16, shape).astype(np.uint8)
+        packed = np.asarray(pack_labels_4bit(labels))
+        assert packed.dtype == np.uint8
+        assert packed.shape == shape[:-1] + ((shape[-1] + 1) // 2,)
+        got = unpack_labels_4bit_np(packed, shape[-1])
+        np.testing.assert_array_equal(got, labels)

@@ -44,6 +44,10 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 # --dtype: override this framework's TEST_DTYPE while the torch reference
 # stays fp32 — measures the mask-agreement cost of bf16 serving.
 DTYPE_OVERRIDE = None
+# --attn_impl: override ATTN_IMPL ('window' forces the TPU serving
+# formulation of local attention on the CPU backend, so the equivalence run
+# exercises the exact dispatch that serves on TPU).
+ATTN_IMPL_OVERRIDE = None
 
 
 # --------------------------------------------------------------------------
@@ -213,6 +217,8 @@ def build_mine(model_name: str, lt_gap, st_skip, ref_model):
     cfg.TEST_SHORT_TERM_MEM_SKIP = st_skip
     if DTYPE_OVERRIDE:  # bf16-vs-fp32-reference agreement runs
         cfg.TEST_DTYPE = DTYPE_OVERRIDE
+    if ATTN_IMPL_OVERRIDE:
+        cfg.ATTN_IMPL = ATTN_IMPL_OVERRIDE
     model = build_vos_model(cfg, eval_mode=True)
     eng = build_infer_engine(model, cfg)
 
@@ -559,6 +565,8 @@ def run_mine_evaluator(model_name, ref_model, imgs_raw, label0, new_label,
     cfg.TEST_SHORT_TERM_MEM_SKIP = st_skip
     if DTYPE_OVERRIDE:
         cfg.TEST_DTYPE = DTYPE_OVERRIDE
+    if ATTN_IMPL_OVERRIDE:
+        cfg.ATTN_IMPL = ATTN_IMPL_OVERRIDE
     cfg.TEST_MULTISCALE = list(scales)
     cfg.TEST_FLIP = flip
     model = build_vos_model(cfg, eval_mode=True)
@@ -600,8 +608,18 @@ def run_clip_tta(model_name, imgs, label0, new_label, arrive, lt_gap,
 # comparison
 # --------------------------------------------------------------------------
 
+class FrameReport(list):
+    """Per-frame agreement entries, plus `.jf`: the J&F of this framework's
+    masks scored against the reference's masks as pseudo-ground-truth —
+    the VERDICT's 'north-star unit' for the equivalence chain (the official
+    scoring the masks feed, reference utils/eval.py:5-13, README.md:142).
+    A J&F of ~1.0 here bounds the J&F delta attributable to the framework."""
+
+    jf = None
+
+
 def compare(ref_preds, my_preds, ref_logits, my_logits, obj_num):
-    per_frame = []
+    per_frame = FrameReport()
     for t, (a, b) in enumerate(zip(ref_preds, my_preds)):
         agree = float((a == b).mean())
         entry = {"frame": t, "agree": agree}
@@ -610,6 +628,11 @@ def compare(ref_preds, my_preds, ref_logits, my_logits, obj_num):
             d = np.abs(ref_logits[t][live] - my_logits[t][live])
             entry["logit_max_abs_diff"] = float(d.max())
         per_frame.append(entry)
+    from aot_tpu.eval.metrics import evaluate_sequence
+
+    per_frame.jf = evaluate_sequence(
+        [np.asarray(p) for p in my_preds],
+        [np.asarray(r) for r in ref_preds])
     return per_frame
 
 
@@ -660,10 +683,16 @@ def main():
     ap.add_argument("--dtype", default=None,
                     help="TEST_DTYPE for THIS framework's engine (e.g. "
                          "bfloat16); the torch reference stays fp32")
+    ap.add_argument("--attn_impl", default=None,
+                    help="ATTN_IMPL for THIS framework ('window' = the TPU "
+                         "serving dispatch, forced on CPU)")
     args = ap.parse_args()
     if args.dtype:
         global DTYPE_OVERRIDE
         DTYPE_OVERRIDE = args.dtype
+    if args.attn_impl:
+        global ATTN_IMPL_OVERRIDE
+        ATTN_IMPL_OVERRIDE = args.attn_impl
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -714,8 +743,18 @@ def main():
             args.model, imgs, lab0, None, -1, args.lt_gap, args.st_skip,
             args.max_aot_obj_num)
 
+    # artifact schema: per clip {"frames": [...], "jf_vs_ref": {...}} — the
+    # J&F scores this framework's masks against the reference's as
+    # pseudo-ground-truth (the north-star unit; see FrameReport)
+    report["dtype"] = DTYPE_OVERRIDE or "float32"
+    report["attn_impl"] = ATTN_IMPL_OVERRIDE or "auto"
+    report["clips"] = {
+        name: {"frames": list(pf),
+               **({"jf_vs_ref": pf.jf}
+                  if getattr(pf, "jf", None) else {})}
+        for name, pf in report["clips"].items()}
     worst = min(f["agree"] for clip in report["clips"].values()
-                for f in clip)
+                for f in clip["frames"])
     report["worst_frame_agreement"] = worst
     report["pass"] = bool(worst >= args.min_agree)
     print(json.dumps(report))
