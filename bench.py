@@ -335,6 +335,29 @@ def main():
             "bf16_mfu": round(flops16 / (ms16 / 1e3) / V5E_PEAK_FLOPS, 4),
         }
 
+    # second model row (BENCH_SECOND_MODEL, default deaott; "" skips): the
+    # record of round-over-round FPS should not be single-model — this
+    # reuses the lean device-limit harness for one more variant per run.
+    second_fields = {}
+    second_name = os.environ.get("BENCH_SECOND_MODEL", "deaott")
+    if second_name and second_name != model_name:
+        try:
+            from tools.bench_device import measure as _measure_model
+
+            r2 = _measure_model(second_name, "float32", n_objects,
+                                n_frames=24, lt_cap=None)
+            second_fields = {
+                "second_model": second_name,
+                "second_model_device_fps": r2["value"],
+                "second_model_device_ms_per_frame":
+                    r2["device_ms_per_frame"],
+                "second_model_vs_baseline": r2.get("vs_baseline"),
+                "second_model_lt_cap": r2["lt_cap"],
+            }
+        except Exception as e:  # noqa: BLE001 — report, never hide
+            second_fields = {"second_model": second_name,
+                             "second_model_error": str(e)}
+
     # headline = device-limit FPS. ASSUMPTION: this is per-frame device
     # compute (scan-chained, single readback); the V100 baseline (51.4) was
     # an attached-GPU end-to-end measurement. On this harness the chip sits
@@ -372,6 +395,7 @@ def main():
             "video_batch_mfu": round(vb_mfu, 4)}
            if vb_fps else {}),
         **bf16_fields,
+        **second_fields,
     }))
 
 
