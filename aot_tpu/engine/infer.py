@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 from aot_tpu.engine import state as S
 from aot_tpu.engine.engine import VOSEngine
-from aot_tpu.ops.image import interpolate_bilinear, interpolate_nearest
+from aot_tpu.ops.image import (
+    interpolate_bilinear,
+    interpolate_nearest,
+    upsample_argmax,
+)
 
 
 def groups_for(obj_num: int, max_obj_num: int) -> int:
@@ -249,10 +253,16 @@ class VOSInferEngine:
     ):
         """Fused per-frame inference: propagate -> decode -> argmax ->
         update_memory, one jit dispatch, mask feedback stays on-device.
-        Returns (state, pred_label (1, H, W) int32, logits)."""
+        Returns (state, pred_label (1, H, W) int32, grid-resolution
+        aggregated logits). The full-resolution argmax rides the
+        channel-first matmul upsample (ops/image.upsample_argmax) — the
+        NHWC gather form padded C=11 to 128 lanes; full-res logits are
+        no longer returned (no caller consumed them; prob/TTA consumers
+        use decode_logits directly)."""
         state = self.propagate(params, state, img)
-        logits = self.decode_logits(params, state, output_size=output_size)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = self.decode_logits(params, state, output_size=None)
+        pred = upsample_argmax(logits, output_size,
+                               align_corners=self.engine.align_corners)
         # memory update uses the decoder-resolution mask downscaled back to
         # the engine grid via one-hot conv (get_id_emb strides at 16)
         state = self.update_memory(params, state, pred)
@@ -297,9 +307,10 @@ class VOSInferEngine:
         Returns (state, preds (N, H, W) int32 at orig_size)."""
         xs = self.engine.encode_image(params, imgs)
         state = self.engine.propagate(params, state, None, img_embs=xs)
-        logits = self.engine.decode_logits(params, state,
-                                           output_size=orig_size)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (N, H, W)
+        logits = self.engine.decode_logits(params, state, output_size=None)
+        pred = upsample_argmax(
+            logits, orig_size,
+            align_corners=self.engine.align_corners)  # (N, H, W)
         lab = pred
         if input_size is not None and tuple(input_size) != tuple(orig_size):
             lab = interpolate_nearest(
@@ -341,8 +352,9 @@ class VOSInferEngine:
 
         def body(st, img):
             st = self.propagate(params, st, img)
-            logits = self.decode_logits(params, st, output_size=orig_size)
-            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            logits = self.decode_logits(params, st, output_size=None)
+            pred = upsample_argmax(logits, orig_size,
+                                   align_corners=self.engine.align_corners)
             lab = interpolate_nearest(
                 pred[..., None].astype(jnp.float32), input_size)
             lab = lab[..., 0].astype(jnp.int32)

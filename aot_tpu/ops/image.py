@@ -169,6 +169,27 @@ def pack_labels_4bit(labels: jax.Array) -> jax.Array:
     return lo | (hi << 4)
 
 
+def upsample_argmax(
+    logits: jax.Array, size: Tuple[int, int], align_corners: bool = True
+) -> jax.Array:
+    """argmax(-1) of the bilinear-upsampled NHWC logits, channel-first.
+
+    Same result as `jnp.argmax(interpolate_bilinear(logits, size), -1)`
+    (the reference decode cadence, aot_engine.py:374-380 + argmax), but
+    computed in (B, C, H, W): NHWC at C=11 pads the minor axis to the
+    TPU's 128 lanes, so the gather-form upsample of (8, 465, 465, 11)
+    moves ~11x the useful bytes and its take-along gathers serialize —
+    measured 18.7 ms of a 43 ms batch-8 step. Channel-first, the resize
+    is two dense matmuls on the MXU (rows have exactly two non-zeros, so
+    values match the lerp formulation bit-for-bit in fp32) and the argmax
+    is a cheap cross-sublane reduce; same shape costs <1 ms. Serving
+    paths (step / step_videos / step_chunk) all decode through here.
+    """
+    xcf = jnp.moveaxis(logits, -1, -3)
+    xcf = interpolate_bilinear_matmul_cf(xcf, size, align_corners)
+    return jnp.argmax(xcf, axis=-3).astype(jnp.int32)
+
+
 def unpack_labels_4bit_np(packed, w: int):
     """Host-side inverse of pack_labels_4bit. packed: numpy uint8 (..., P);
     returns (..., w) uint8."""

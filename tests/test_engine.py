@@ -54,7 +54,9 @@ def test_video_loop_and_ring(setup):
     for t in range(5):
         state, pred, logits = step(params, state, img * (1 + 0.1 * t))
     assert pred.shape == (1, H, W)
-    assert logits.shape == (1, H, W, 11)
+    # step returns GRID-resolution aggregated logits (full-res argmax rides
+    # the fused channel-first upsample; no caller consumed full-res logits)
+    assert logits.shape == (1, (H - 1) // 4 + 1, (W - 1) // 4 + 1, 11)
     # gap=1 -> LT write every frame; cap=3 fifo -> count keeps increasing
     assert int(state.lt_count[0]) == 6
     assert int(state.frame_step) == 5

@@ -89,10 +89,12 @@ def main():
         return st, logits[:, ::16, ::16, 0]
 
     def body_decode_full(p, st, f):
+        from aot_tpu.ops.image import upsample_argmax
         xs = eng.engine.encode_image(p, f)
         st = eng.engine.propagate(p, st, None, img_embs=xs)
-        logits = eng.engine.decode_logits(p, st, output_size=(H, W))
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = eng.engine.decode_logits(p, st, output_size=None)
+        pred = upsample_argmax(logits, (H, W),
+                               align_corners=eng.engine.align_corners)
         return st, pred[:, ::64, ::64]
 
     def body_full(p, st, f):

@@ -630,9 +630,26 @@ def compare(ref_preds, my_preds, ref_logits, my_logits, obj_num):
         per_frame.append(entry)
     from aot_tpu.eval.metrics import evaluate_sequence
 
-    per_frame.jf = evaluate_sequence(
-        [np.asarray(p) for p in my_preds],
-        [np.asarray(r) for r in ref_preds])
+    mine = [np.asarray(p) for p in my_preds]
+    ref = [np.asarray(r) for r in ref_preds]
+    per_frame.jf = evaluate_sequence(mine, ref)
+    # Size-binned view: the Demo mask is panoptic-style (44 ids at 1080p,
+    # some <100 px, i.e. sub-pixel after the test resize); per-object J&F
+    # averages give a 1-pixel object the same weight as a 500k-pixel one,
+    # so a single boundary flip on a tiny object dominates the mean. The
+    # >=64px bin is the signal for real-object tracking quality; the full
+    # mean above stays the headline for honesty.
+    areas = {}
+    for r in ref:
+        ids, counts = np.unique(r, return_counts=True)
+        for i, c in zip(ids.tolist(), counts.tolist()):
+            if i != 0:
+                areas[i] = max(areas.get(i, 0), c)
+    big = sorted(i for i, a in areas.items() if a >= 64)
+    if big and len(big) < len(areas):
+        per_frame.jf["jf_objects_ge64px"] = evaluate_sequence(
+            mine, ref, object_ids=big)["J&F"]
+        per_frame.jf["n_objects_ge64px"] = len(big)
     return per_frame
 
 
