@@ -453,6 +453,102 @@ def _local_attention_dense(
     return _merge_heads(out).astype(v.dtype)
 
 
+@lru_cache(maxsize=16)
+def _toeplitz_onehot_np(n: int, max_dis: int):
+    """(n, win, n) fp32 one-hot T[i, s, j] = 1 iff j == i + s - max_dis.
+    Out-of-range rows are all-zero (the shift falls off the image edge)."""
+    win = 2 * max_dis + 1
+    i = np.arange(n)[:, None, None]
+    s = np.arange(win)[None, :, None]
+    j = np.arange(n)[None, None, :]
+    return (j == i + s - max_dis).astype(np.float32)
+
+
+def _local_attention_dense_mxu(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,
+    rel_v: Optional[jax.Array],
+    *,
+    num_heads: int,
+    size_2d: Tuple[int, int],
+    max_dis: int = 7,
+    d_att: Optional[int] = None,
+) -> jax.Array:
+    """Dense-masked local attention with the window<->dense moves done as
+    MXU matmuls — the TPU serving form (round 5).
+
+    Same float values as _local_attention_dense (oracle): the per-query
+    relative-bias placement onto dense columns is a 2D-Toeplitz map, which
+    is SEPARABLE — one 1D shift along image x, one along image y — and a
+    1D shift-by-row-index is a batched matmul with a tiny static one-hot
+    (_toeplitz_onehot_np: (wid, win, wid), 54 KB at 480p). Matmul against
+    a one-hot is exact (1.0*x accumulated once), so this is numerically
+    identical to the gather form, but everything on the hot path is MXU
+    work on layout-friendly shapes: the take_along_axis of the dense
+    oracle serializes on TPU (6.7 ms of a 9.3 ms step), the window form's
+    15 per-row-offset banded matmuls scale 10.8x from B=1->8 (10.5 ms at
+    batch 8), and a pad/flatten/reshape Toeplitz variant (tried first,
+    round 5) hits a Mosaic relayout cliff when its misaligned
+    (..., HW, HW+win*wid) intermediate is consumed (28.7 ms at
+    batch 8). This form: one (HW x HW) score matmul + four small one-hot
+    matmuls. Replaces the reference's CUDA correlation sampler
+    (networks/layers/attention.py:579-640).
+    """
+    hgt, wid = size_2d
+    hw = hgt * wid
+    b = q.shape[0]
+    h = num_heads
+    win = 2 * max_dis + 1
+    d = d_att if d_att is not None else q.shape[-1] // h
+
+    _, in_win_np = dense_window_maps(hgt, wid, max_dis, 1)
+    in_win = jnp.asarray(in_win_np)
+    tx = jnp.asarray(_toeplitz_onehot_np(wid, max_dis))  # (wid, win, wid)
+    ty = jnp.asarray(_toeplitz_onehot_np(hgt, max_dis))  # (hgt, win, hgt)
+
+    qh = _split_heads(q / math.sqrt(d), h)   # (B, h, HW, d)
+    kh = _split_heads(k, h)
+    vh = _split_heads(v, h)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+
+    # scatter rel_bias (B,h,HW,win2) onto dense (B,h,HW,HW): two one-hot
+    # matmuls, x-shift then y-shift; (y,x,ky,kx) flattens to (q,kk) as a
+    # pure view. Off-image slots vanish (all-zero one-hot rows).
+    rb6 = rel_bias.reshape(b, h, hgt, wid, win, win)
+    a1 = jnp.einsum("bhyxde,xek->bhyxdk", rb6, tx, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    bias_dense = jnp.einsum("bhyxdk,ydg->bhyxgk", a1, ty, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    bias_dense = bias_dense.reshape(b, h, hw, hw)  # (y,x),(ky,kx) -> q,kk
+    scores = jnp.where(in_win[None, None], scores + bias_dense, NEG_INF)
+
+    attn = jax.nn.softmax(scores, axis=-1)  # fp32
+    attn_c = attn.astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn_c, vh,
+                     preferred_element_type=jnp.float32)
+
+    if rel_v is not None:
+        # extract attention back to window coords with the transposed
+        # one-hot matmuls (masked slots carry exactly 0 post-softmax),
+        # then contract with the value bias
+        a6 = attn.reshape(b, h, hgt, wid, hgt, wid)
+        w1 = jnp.einsum("bhyxgk,ydg->bhyxdk", a6, ty, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        attn_win = jnp.einsum("bhyxdk,xek->bhyxde", w1, tx, precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+        attn_win = attn_win.reshape(b, h, hw, win * win)
+        out = out + jnp.einsum(
+            "bhqw,hcw->bhqc", attn_win, rel_v.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    return _merge_heads(out).astype(v.dtype)
+
+
 @lru_cache(maxsize=32)
 def _window_valid_mask(h: int, w: int, max_dis: int, dilation: int = 1):
     """(HW, win2) bool: window slot lands inside the image (static)."""

@@ -216,3 +216,37 @@ def test_local_attention_window_grads_match_dense():
     for a, b in zip(g_w, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("case", [
+    # (H, W, max_dis, heads, rel_v?) — W > win, W == win boundary, no rel_v
+    (4, 8, 1, 2, True),
+    (4, 3, 1, 1, True),
+    (3, 7, 1, 2, False),
+])
+def test_local_attention_dense_mxu_bitexact(case):
+    """The gather-free MXU-Toeplitz serving form must be BIT-exact vs the
+    dense oracle: same matmuls, same mask, only the bias placement differs
+    (separable one-hot matmuls instead of take_along_axis)."""
+    from aot_tpu.ops.attention import (
+        _local_attention_dense,
+        _local_attention_dense_mxu,
+    )
+
+    H, W, max_dis, h, use_rel_v = case
+    rng = np.random.RandomState(5)
+    HW = H * W
+    win2 = (2 * max_dis + 1) ** 2
+    B, dv = 2, 4 * h
+    q = rng.randn(B, HW, 4 * h).astype(np.float32)
+    k = rng.randn(B, HW, 4 * h).astype(np.float32)
+    v = rng.randn(B, HW, dv).astype(np.float32)
+    rel_bias = jnp.asarray(rng.randn(B, h, HW, win2).astype(np.float32) * 0.3)
+    rel_v = (jnp.asarray(rng.randn(h, dv // h, win2).astype(np.float32) * 0.3)
+             if use_rel_v else None)
+
+    kw = dict(num_heads=h, size_2d=(H, W), max_dis=max_dis)
+    want = np.asarray(_local_attention_dense(q, k, v, rel_bias, rel_v, **kw))
+    got = np.asarray(
+        _local_attention_dense_mxu(q, k, v, rel_bias, rel_v, **kw))
+    assert np.array_equal(got, want)
