@@ -306,6 +306,20 @@ _DENSE_LOCAL_MAX_TOKENS = int(os.environ.get(
     "AOT_TPU_DENSE_LOCAL_MAX_TOKENS", 2500))
 
 
+def _flat_kernel_fits(q, v, num_heads, size_2d, max_dis, d_att) -> bool:
+    """VMEM feasibility of the flat-layout local kernel: one program holds
+    q + 15 row-shifted k/v slabs + rel-bias + the (win², HW) score scratch.
+    ≈ 5.9 KB/token at the AOT head shape (d=dv=32, win 15) → fits eval
+    grids (900-2500 tokens) comfortably; full-res 1080p grids stay on the
+    blocked wide kernel."""
+    hw = size_2d[0] * size_2d[1]
+    d = d_att if d_att is not None else q.shape[-1] // num_heads
+    dv = v.shape[-1] // num_heads
+    win = 2 * max_dis + 1
+    per_tok = 4 * (d + win * (d + dv) + 2 * win * win + dv)
+    return per_tok * (hw + 2 * max_dis * win) < 12 * 2**20
+
+
 def _use_local_kernel() -> bool:
     if _ATTN_IMPL in ("xla", "reference"):
         return False
@@ -371,11 +385,25 @@ def local_attention(
             q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
             max_dis=max_dis, d_att=d_att)
     if jax.default_backend() == "tpu" and _ATTN_IMPL != "reference":
-        # small sizes, TPU eval: the window form wins here too — the dense
-        # form's relative-bias gather (take_along_axis into (B,h,HW,HW))
-        # serializes on TPU: 6.7 ms of a 9.3 ms AOTT 465² step in-context,
-        # vs 3.4 ms TOTAL step with the window form (probe r04). Dense
-        # remains the CPU/test oracle and the 'reference' escape hatch.
+        # small sizes, TPU eval. Best: the flat-layout Pallas kernel —
+        # whole image on lanes, channels on sublanes, window offsets as
+        # constant diagonals (0.87 ms at B=1 / 2.46 ms at B=8 vs the
+        # window form's 1.93 / 12.18 at the AOTT 465² ST shape with
+        # rel_v; probe r05 tools/bench_attn_bscale.py). Its 2.8× B=1→8
+        # scaling is what makes batched multi-video serving add
+        # throughput. Fallbacks: gather-free window form (dilation>1,
+        # VMEM-infeasible shapes, AOT_TPU_ATTN_IMPL=xla); the dense
+        # form's bias gather serializes on TPU (6.7 of 9.3 ms/step, r04)
+        # and stays the CPU oracle + 'reference' escape hatch.
+        if (_use_local_kernel() and dilation == 1
+                and _flat_kernel_fits(q, v, num_heads, size_2d, max_dis,
+                                      d_att)):
+            from aot_tpu.ops.pallas.local_window_attn import (
+                local_window_attention_flat)
+
+            return local_window_attention_flat(
+                q, k, v, rel_bias, rel_v, num_heads=num_heads,
+                size_2d=size_2d, max_dis=max_dis, d_att=d_att)
         return local_attention_window(
             q, k, v, rel_bias, rel_v, num_heads=num_heads, size_2d=size_2d,
             max_dis=max_dis, dilation=dilation, d_att=d_att)

@@ -21,8 +21,8 @@ def run_numerics_checks() -> Tuple[bool, Dict[str, float]]:
 
     from aot_tpu.ops import attention as A
     from aot_tpu.ops.pallas.flash_mem_attn import flash_memory_attention
-    from aot_tpu.ops.pallas.local_window_attn import \
-        local_window_attention_wide
+    from aot_tpu.ops.pallas.local_window_attn import (
+        local_window_attention_flat, local_window_attention_wide)
 
     rng = np.random.RandomState(0)
     errs: Dict[str, float] = {}
@@ -58,5 +58,23 @@ def run_numerics_checks() -> Tuple[bool, Dict[str, float]]:
         d_att=d)
     errs["local_window_kernel"] = float(jnp.max(jnp.abs(want - got)))
 
-    ok = errs["flash_mem_attn"] < 5e-5 and errs["local_window_kernel"] < 5e-4
+    # flat local-window kernel (the eval-grid serving path) vs the same
+    # banded oracle at the AOTT 465² serving shape (30x30 grid)
+    hgt, wid = 30, 30
+    hw = hgt * wid
+    qf = jnp.asarray(rng.randn(2, hw, h * d), jnp.float32)
+    kf = jnp.asarray(rng.randn(2, hw, h * d), jnp.float32)
+    vf = jnp.asarray(rng.randn(2, hw, h * d), jnp.float32)
+    rbf = jnp.asarray(0.3 * rng.randn(2, h, hw, win2), jnp.float32)
+    want = A.local_attention_banded(
+        qf, kf, vf, rbf, rv, num_heads=h, size_2d=(hgt, wid), max_dis=m,
+        d_att=d)
+    got = local_window_attention_flat(
+        qf, kf, vf, rbf, rv, num_heads=h, size_2d=(hgt, wid), max_dis=m,
+        d_att=d)
+    errs["local_window_flat_kernel"] = float(jnp.max(jnp.abs(want - got)))
+
+    ok = (errs["flash_mem_attn"] < 5e-5
+          and errs["local_window_kernel"] < 5e-4
+          and errs["local_window_flat_kernel"] < 5e-4)
     return ok, errs

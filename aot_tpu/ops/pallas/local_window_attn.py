@@ -382,3 +382,172 @@ def local_window_attention_wide(
     out = out.reshape(b, h, n_bands * rq, dv, wid)[:, :, :hgt]
     out = out.transpose(0, 2, 4, 1, 3)            # (B, rows, W, h, dv)
     return out.reshape(b, hw, h * dv)
+
+
+# ---------------------------------------------------------------------------
+# "flat" layout variant: the whole image on lanes, channels on sublanes.
+#
+# At eval grids (480p -> 30x30 = 900 tokens) the wide kernel's lane dim is
+# W=30 — 23% of the 128 lanes — and each of its 225 window slots touches a
+# (rq, d, 30) sliver, so the kernel runs ~15x off its VPU bound (1.7 ms at
+# B=1, 12.9 ms at B=8; probed r05). In FLAT HW coordinates every window
+# offset is a constant diagonal: key(q, (dy,dx)) = q + (dy-m)*W + (dx-m).
+# Laying tensors out as (channels, HW) makes each slot ONE full-width
+# (d, 900) elementwise FMA + sublane reduce: the dy walk indexes 15
+# row-shifted key/value slabs prepared on the host (contiguous pad+slice),
+# the dx walk is 15 static lane slices, the softmax is a 225-sublane
+# reduce, and the relative value bias is a single (dv,225)@(225,HW) MXU
+# matmul. No (HW x HW) tensor, no gathers, full lane occupancy.
+#
+# Same semantics as local_attention at dilation=1 (oracle-tested).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_flat_no_rv(q_ref, k_ref, v_ref, rb_ref, o_ref, s_ref, **kw):
+    _kernel_flat(q_ref, k_ref, v_ref, rb_ref, None, o_ref, s_ref, **kw)
+
+
+def _kernel_flat_rv(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, **kw):
+    _kernel_flat(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, **kw)
+
+
+def _kernel_flat(q_ref, k_ref, v_ref, rb_ref, rv_ref, o_ref, s_ref, *,
+                 height: int, width: int, max_dis: int, scale: float):
+    m = max_dis
+    win = 2 * m + 1
+    hw = height * width
+
+    q = q_ref[0].astype(jnp.float32) * scale          # (d, HW)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+    x = pos % width
+    y = pos // width
+
+    # phase 1: scores — one full-width FMA + sublane reduce per slot
+    def score_row(dy, _):
+        krows = k_ref[0, dy].astype(jnp.float32)      # (d, HW + 2m)
+        ky = y + (dy - m)
+        row_ok = (ky >= 0) & (ky < height)
+        for dx in range(win):
+            w_idx = dy * win + dx
+            ks = krows[:, dx:dx + hw]
+            s = jnp.sum(q * ks, axis=0, keepdims=True)        # (1, HW)
+            s = s + rb_ref[0, pl.ds(w_idx, 1), :]
+            kx = x + (dx - m)
+            ok = row_ok & (kx >= 0) & (kx < width)
+            s_ref[pl.ds(w_idx, 1), :] = jnp.where(ok, s, NEG_INF)
+        return _
+
+    jax.lax.fori_loop(0, win, score_row, 0, unroll=False)
+
+    # softmax over the window axis (sublane dim of the scratch)
+    s = s_ref[...]                                    # (win2, HW)
+    s_max = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - s_max)
+    s_ref[...] = p / jnp.sum(p, axis=0, keepdims=True)
+
+    # phase 2: value walk — masked slots carry exactly 0 probability
+    def value_row(dy, acc):
+        vrows = v_ref[0, dy].astype(jnp.float32)      # (dv, HW + 2m)
+        for dx in range(win):
+            w_idx = dy * win + dx
+            pw = s_ref[pl.ds(w_idx, 1), :]            # (1, HW) sublane-splat
+            acc = acc + pw * vrows[:, dx:dx + hw]
+        return acc
+
+    out = jax.lax.fori_loop(
+        0, win, value_row,
+        jnp.zeros((o_ref.shape[-2], hw), jnp.float32), unroll=False)
+
+    if rv_ref is not None:
+        # relative value bias: one MXU matmul against the window probs.
+        # Mosaic only lowers DEFAULT/HIGHEST precisions (the session-level
+        # 'high' fp32 default is an XLA notion) — both operands are fp32
+        # here, so HIGHEST is exact and supported.
+        out = out + jnp.dot(rv_ref[0].astype(jnp.float32), s_ref[...],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "size_2d", "max_dis", "d_att", "interpret"))
+def local_window_attention_flat(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,
+    rel_v: Optional[jax.Array],
+    *,
+    num_heads: int,
+    size_2d: Tuple[int, int],
+    max_dis: int = 7,
+    d_att: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same semantics/signature as local_window_attention (flat layout).
+
+    Grid: one program per (batch*head). VMEM per program at the AOTT eval
+    shape (900 tokens, d=dv=32): 15-row k/v slabs 2x1.75 MB + rel_bias
+    0.81 MB + score scratch 0.81 MB — comfortably within the 16 MB budget
+    up to dv=64 (-L models).
+    """
+    hgt, wid = size_2d
+    hw = hgt * wid
+    b, _, cq = q.shape
+    h = num_heads
+    d = d_att if d_att is not None else cq // h
+    dv = v.shape[-1] // h
+    m = max_dis
+    win = 2 * m + 1
+
+    def to_flat(t, dd):
+        # (B, HW, h*dd) -> (B*h, dd, HW)
+        t = t.reshape(b, hw, h, dd).transpose(0, 2, 3, 1)
+        return t.reshape(b * h, dd, hw)
+
+    q_t = to_flat(q, d)
+    # 15 row-shifted, lane-padded key/value slabs: slab[dy][:, j] =
+    # img_flat[j + (dy-m)*W + (dx-m)] after the in-kernel dx slice — all
+    # 15 are contiguous slices of ONE zero-padded flat image
+    def to_slabs(t, dd):
+        flat = to_flat(t, dd)
+        big = jnp.pad(flat, ((0, 0), (0, 0), (m * wid + m, m * wid + m)))
+        slabs = [jax.lax.slice_in_dim(big, dy * wid, dy * wid + hw + 2 * m,
+                                      axis=2) for dy in range(win)]
+        return jnp.stack(slabs, axis=1)               # (BH, win, dd, HW+2m)
+
+    k_slab = to_slabs(k, d)
+    v_slab = to_slabs(v, dv)
+    rb_t = rel_bias.transpose(0, 1, 3, 2).reshape(b * h, win * win, hw)
+
+    in_specs = [
+        pl.BlockSpec((1, d, hw), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, win, d, hw + 2 * m), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, win, dv, hw + 2 * m), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, win * win, hw), lambda i: (i, 0, 0)),
+    ]
+    args = [q_t, k_slab, v_slab, rb_t]
+    has_rv = rel_v is not None
+    if has_rv:
+        in_specs.append(
+            pl.BlockSpec((1, dv, win * win), lambda i: (i % h, 0, 0)))
+        args.append(rel_v)
+
+    kernel = _kernel_flat_rv if has_rv else _kernel_flat_no_rv
+    out = pl.pallas_call(
+        functools.partial(kernel, height=hgt, width=wid, max_dis=m,
+                          scale=1.0 / math.sqrt(d)),
+        grid=(b * h,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, dv, hw), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, dv, hw), v.dtype),
+        scratch_shapes=[pltpu.VMEM((win * win, hw), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(*args)
+
+    # (BH, dv, HW) -> (B, HW, h*dv)
+    out = out.reshape(b, h, dv, hw).transpose(0, 3, 1, 2)
+    return out.reshape(b, hw, h * dv)

@@ -61,3 +61,24 @@ def test_kernel_matches_banded_oracle_large(impl):
         d_att=d, rows_per_band=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_rv", [True, False])
+@pytest.mark.parametrize("hgt,wid", [(10, 12), (9, 7), (8, 8)])
+def test_flat_kernel_matches_dense_oracle(hgt, wid, with_rv):
+    from aot_tpu.ops.pallas.local_window_attn import (
+        local_window_attention_flat)
+
+    h, d, dv, m = 2, 8, 8, 2
+    win2 = (2 * m + 1) ** 2
+    q, k, v, rb, rv = _mk(2, hgt, wid, h, d, dv, win2, with_rv)
+    want = _local_attention_dense(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rb),
+        None if rv is None else jnp.asarray(rv),
+        num_heads=h, size_2d=(hgt, wid), max_dis=m, d_att=d)
+    got = local_window_attention_flat(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rb),
+        None if rv is None else jnp.asarray(rv),
+        num_heads=h, size_2d=(hgt, wid), max_dis=m, d_att=d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
